@@ -1,0 +1,193 @@
+"""Reverse-process samplers, compiled as single ``lax.scan`` loops.
+
+The reference contains four inconsistent reverse-process implementations
+(SURVEY.md §2.3).  This module implements the two that define its external
+behavior, each as one scan so the full T-step loop runs on device with no
+per-step host sync:
+
+* ``p_sample`` / ``p_sample_loop`` — the reference ``utils/diffusion.py``
+  formulation (:103-212), 2-pass CFG, used by training-time sample grids.
+* ``generate_trajectory_scan`` — the trajectory-engine formulation
+  (``analysis/trajectory_engine.py:24-115``), DDIM-like c1/c2/σ update on
+  per-step alphas, fused CFG, per-step noise deterministic in ``(seed, t)``
+  so paired teacher/student trajectories share identical noise — this is the
+  BASELINE.json north-star path.
+
+All samplers emit trajectories as stacked on-device arrays
+``[T+1, B, H, W, C]`` instead of Python lists of host tensors.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .schedules import extract
+
+ModelFn = Callable[..., jnp.ndarray]
+
+
+def subsampled_timestep_indices(sample_steps: int, num_timesteps: int) -> np.ndarray:
+    """Descending subsampled timestep indices (reference diffusion.py:194-197)."""
+    step_size = max(1, sample_steps // num_timesteps)
+    idx = {min(i * step_size, sample_steps - 1) for i in range(num_timesteps)}
+    return np.array(sorted(idx, reverse=True), dtype=np.int32)
+
+
+def p_sample(
+    model_fn: ModelFn,
+    x: jnp.ndarray,
+    t: jnp.ndarray,
+    t_index: jnp.ndarray,
+    diffusion_params: Dict[str, jnp.ndarray],
+    key: jax.Array,
+    guidance_scale: float = 1.0,
+) -> jnp.ndarray:
+    """One reverse step, reference ``utils/diffusion.py:103-158`` formulation.
+
+    Keeps the reference's non-standard update
+    ``x ← 1/√α·(x − (1−√(1−ᾱ))·ε̂) + noise·β`` and its 2-pass CFG
+    (cond=1 vs cond=None).
+    """
+    b = x.shape[0]
+    betas_t = extract(diffusion_params["betas"], t, x.shape)
+    sqrt_omac_t = extract(
+        diffusion_params["sqrt_one_minus_alphas_cumprod"], t, x.shape
+    )
+    sqrt_recip_alphas_t = extract(diffusion_params["sqrt_recip_alphas"], t, x.shape)
+
+    ones = jnp.ones((b, 1), dtype=x.dtype)
+    cond_out = model_fn(x, t, ones, ones)
+    uncond_out = model_fn(x, t, jnp.zeros((b, 1), x.dtype), jnp.zeros((b, 1), x.dtype))
+    model_output = uncond_out + guidance_scale * (cond_out - uncond_out)
+
+    pred_direction = (1.0 - sqrt_omac_t) * model_output
+    noise = jax.random.normal(key, x.shape, dtype=x.dtype)
+    noise = jnp.where(t_index > 0, noise, 0.0)
+    return sqrt_recip_alphas_t * (x - pred_direction) + noise * betas_t
+
+
+def p_sample_loop(
+    model_fn: ModelFn,
+    shape: Tuple[int, ...],
+    sample_steps: int,
+    diffusion_params: Dict[str, jnp.ndarray],
+    key: jax.Array,
+    num_timesteps: Optional[int] = None,
+    track_trajectory: bool = False,
+    guidance_scale: float = 1.0,
+):
+    """Full reverse loop as one ``lax.scan`` (reference diffusion.py:160-212).
+
+    Returns ``img`` or ``(img, trajectory)`` with trajectory
+    ``[n_steps+1, B, H, W, C]`` on device.
+    """
+    if num_timesteps is None:
+        num_timesteps = sample_steps
+    indices = jnp.asarray(subsampled_timestep_indices(sample_steps, num_timesteps))
+
+    key, init_key = jax.random.split(key)
+    img = jax.random.normal(init_key, shape, dtype=jnp.float32)
+
+    def step(carry, t_index):
+        x, k = carry
+        k, sk = jax.random.split(k)
+        b = x.shape[0]
+        t = jnp.full((b,), t_index, dtype=jnp.int32)
+        x = p_sample(
+            model_fn, x, t, t_index, diffusion_params, sk, guidance_scale
+        )
+        return (x, k), (x if track_trajectory else None)
+
+    (img_final, _), traj = jax.lax.scan(step, (img, key), indices)
+    if track_trajectory:
+        trajectory = jnp.concatenate([img[None], traj], axis=0)
+        return img_final, trajectory
+    return img_final
+
+
+def engine_update(
+    x: jnp.ndarray,
+    noise_pred: jnp.ndarray,
+    noise: jnp.ndarray,
+    alpha_t: jnp.ndarray,
+    alpha_prev: jnp.ndarray,
+) -> jnp.ndarray:
+    """Trajectory-engine DDIM-like update (reference trajectory_engine.py:96-110).
+
+    Note: operates on *per-step* alphas (1−β), not cumulative products —
+    an idiosyncrasy of the reference preserved for numerical parity.
+    """
+    c1 = jnp.sqrt(alpha_prev) / jnp.sqrt(alpha_t)
+    c2 = jnp.sqrt(1.0 - alpha_prev) - jnp.sqrt(alpha_prev / alpha_t) * jnp.sqrt(
+        1.0 - alpha_t
+    )
+    x = c1 * x - c2 * noise_pred
+    sigma_t = jnp.sqrt(1.0 - alpha_prev) * jnp.sqrt(1.0 - alpha_t / alpha_prev)
+    return x + sigma_t * noise
+
+
+def generate_trajectory_scan(
+    model_fn: ModelFn,
+    noise: jnp.ndarray,
+    timesteps: int,
+    alphas: jnp.ndarray,
+    seed: jnp.ndarray,
+    guidance_scale: Optional[float] = None,
+    use_cfg: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Full trajectory via the engine formulation as one scan.
+
+    Reference ``analysis/trajectory_engine.py:24-115``: iterate t=T−1..0; at
+    each t>0 apply the c1/c2/σ update with per-step noise reseeded as
+    ``seed + t`` (here: ``fold_in(PRNGKey(seed), t)`` — deterministic in
+    (seed, t) so teacher and student chains see identical noise).  The t=0
+    iteration performs no update, so its model forward is skipped entirely
+    and the final state is duplicated, exactly matching the reference's
+    output trajectory.
+
+    CFG (used when ``guidance_scale > 1.0``) evaluates cond=0 and cond=1
+    passes *both through the conditioning MLP* (trajectory_engine.py:68-80),
+    unlike ``p_sample``'s cond=None unconditional pass.
+
+    Returns trajectory ``[T+1, B, H, W, C]``.
+    """
+    if use_cfg is None:
+        use_cfg = guidance_scale is not None and (
+            not isinstance(guidance_scale, (int, float)) or guidance_scale > 1.0
+        )
+    gs = 1.0 if guidance_scale is None else guidance_scale
+    b = noise.shape[0]
+    base_key = jax.random.PRNGKey(seed) if jnp.ndim(seed) == 0 else seed
+
+    def step(x, t):
+        tvec = jnp.full((b,), t, dtype=jnp.float32)
+        if use_cfg:
+            # Fused CFG: both halves pass through the cond MLP (cond 0 / 1).
+            pred_uncond = model_fn(
+                x, tvec, jnp.zeros((b, 1), x.dtype), jnp.ones((b, 1), x.dtype)
+            )
+            pred_cond = model_fn(
+                x, tvec, jnp.ones((b, 1), x.dtype), jnp.ones((b, 1), x.dtype)
+            )
+            noise_pred = pred_uncond + gs * (pred_cond - pred_uncond)
+        else:
+            # No-CFG path: cond=None (mask 0), single forward
+            # (trajectory_engine.py:81-83).
+            noise_pred = model_fn(
+                x, tvec, jnp.zeros((b, 1), x.dtype), jnp.zeros((b, 1), x.dtype)
+            )
+        step_key = jax.random.fold_in(base_key, t)
+        step_noise = jax.random.normal(step_key, x.shape, dtype=x.dtype)
+        alpha_t = alphas[t]
+        alpha_prev = alphas[t - 1]
+        x = engine_update(x, noise_pred, step_noise, alpha_t, alpha_prev)
+        return x, x
+
+    ts = jnp.arange(timesteps - 1, 0, -1, dtype=jnp.int32)
+    x_final, states = jax.lax.scan(step, noise, ts)
+    # [noise, states for t=T-1..1, duplicate for the no-op t=0 iteration]
+    return jnp.concatenate([noise[None], states, x_final[None]], axis=0)

@@ -1,0 +1,91 @@
+"""Noise schedules and precomputed diffusion parameters.
+
+TPU-native counterpart of reference ``utils/diffusion.py:11-66``.  All
+schedule tensors are plain ``jnp`` arrays computed once on host and closed
+over by jitted step functions — there is no device-selection logic (XLA owns
+placement).
+
+The reference configures ``noise_schedule="cosine"`` but only implements
+linear (``utils/diffusion.py:21-23`` vs ``config/config.py:26``); we implement
+both and default to linear for parity.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def linear_beta_schedule(
+    timesteps: int, beta_start: float = 1e-4, beta_end: float = 0.02
+) -> jnp.ndarray:
+    """Linear beta schedule (reference utils/diffusion.py:21-23)."""
+    return jnp.linspace(beta_start, beta_end, timesteps, dtype=jnp.float32)
+
+
+def cosine_beta_schedule(timesteps: int, s: float = 0.008) -> jnp.ndarray:
+    """Cosine schedule from Nichol & Dhariwal (2021).
+
+    The reference declares this in config but never implements it; provided
+    here to close that gap (SURVEY.md §2.3).
+    """
+    steps = np.arange(timesteps + 1, dtype=np.float64)
+    f = np.cos(((steps / timesteps) + s) / (1 + s) * np.pi / 2) ** 2
+    alphas_cumprod = f / f[0]
+    betas = 1.0 - (alphas_cumprod[1:] / alphas_cumprod[:-1])
+    return jnp.asarray(np.clip(betas, 0.0, 0.999), dtype=jnp.float32)
+
+
+def get_diffusion_params(
+    sample_steps: int, config: Optional[object] = None
+) -> Dict[str, jnp.ndarray]:
+    """Precompute all schedule tensors (reference utils/diffusion.py:25-66).
+
+    Returns the reference's six keys plus ``alphas``, ``alphas_cumprod_prev``
+    and ``sqrt_recip_alphas_cumprod`` — the reference's editing modules expect
+    an ``alphas`` key that its own ``get_diffusion_params`` never returned
+    (API mismatch noted in SURVEY.md §2.3); we fix that here.
+    """
+    beta_start = getattr(config, "beta_start", 1e-4) if config else 1e-4
+    beta_end = getattr(config, "beta_end", 0.02) if config else 0.02
+    schedule = getattr(config, "noise_schedule", "linear") if config else "linear"
+
+    if schedule == "cosine":
+        betas = cosine_beta_schedule(sample_steps)
+    else:
+        betas = linear_beta_schedule(sample_steps, beta_start, beta_end)
+
+    alphas = 1.0 - betas
+    alphas_cumprod = jnp.cumprod(alphas, axis=0)
+    alphas_cumprod_prev = jnp.pad(
+        alphas_cumprod[:-1], (1, 0), constant_values=1.0
+    )
+    sqrt_recip_alphas = jnp.sqrt(1.0 / alphas)
+    sqrt_alphas_cumprod = jnp.sqrt(alphas_cumprod)
+    sqrt_one_minus_alphas_cumprod = jnp.sqrt(1.0 - alphas_cumprod)
+    posterior_variance = betas * (1.0 - alphas_cumprod_prev) / (1.0 - alphas_cumprod)
+
+    return {
+        "betas": betas,
+        "alphas": alphas,
+        "alphas_cumprod": alphas_cumprod,
+        "alphas_cumprod_prev": alphas_cumprod_prev,
+        "sqrt_recip_alphas": sqrt_recip_alphas,
+        "sqrt_alphas_cumprod": sqrt_alphas_cumprod,
+        "sqrt_one_minus_alphas_cumprod": sqrt_one_minus_alphas_cumprod,
+        "sqrt_recip_alphas_cumprod": jnp.sqrt(1.0 / alphas_cumprod),
+        "posterior_variance": posterior_variance,
+        "timesteps": jnp.asarray(sample_steps, dtype=jnp.int32),
+    }
+
+
+def extract(a: jnp.ndarray, t: jnp.ndarray, x_shape) -> jnp.ndarray:
+    """Gather schedule coefficients at timesteps ``t`` and broadcast-shape.
+
+    Reference ``utils/diffusion.py:11-19`` (with the same clamp-to-bounds).
+    """
+    t = jnp.clip(t, 0, a.shape[0] - 1)
+    out = a[t]
+    return out.reshape(t.shape[0], *((1,) * (len(x_shape) - 1)))

@@ -1,0 +1,13 @@
+"""Model zoo: Flax diffusion U-Net (teacher/student unified)."""
+from .unet import (
+    DiffusionUNet,
+    SimpleUNet,
+    StudentUNet,
+    make_unet,
+    init_unet,
+    param_count,
+    param_size_mb,
+    sinusoidal_time_embedding,
+    upsample_bilinear_x2,
+    resize_bilinear_align_corners,
+)

@@ -1,0 +1,25 @@
+"""Training: teacher trainer, student distiller, resume, checkpoints."""
+from .state import (
+    TrainState,
+    create_train_state,
+    make_optimizer,
+    make_eval_model_fn,
+    make_teacher_train_step,
+    make_distill_train_step,
+)
+from .checkpoints import (
+    save_checkpoint,
+    load_checkpoint,
+    latest_epoch,
+    available_epochs,
+    variables_from_checkpoint,
+    checkpoint_path,
+)
+from .teacher import train_teacher, generate_sample_grid
+from .students import (
+    train_students,
+    distill_diffusion_model,
+    load_teacher,
+    print_size_factor_info,
+)
+from .continue_training import continue_training

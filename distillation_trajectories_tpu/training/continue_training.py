@@ -1,0 +1,97 @@
+"""Resume teacher training from a checkpoint epoch.
+
+Reference ``scripts/continue_training.py:23-177`` reloads only model weights
+(Adam moments reset — a noted gap, SURVEY.md §5).  We restore optimizer state
+too when the checkpoint has it, and fall back to a fresh optimizer otherwise,
+preserving the ``model_epoch_{start + i}`` filename numbering.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data import get_data_loader
+from ..diffusion import get_diffusion_params
+from ..models import make_unet
+from .checkpoints import load_checkpoint, save_checkpoint
+from .state import (
+    TrainState,
+    create_train_state,
+    make_optimizer,
+    make_teacher_train_step,
+)
+from .teacher import generate_sample_grid
+
+
+def continue_training(config, start_epoch: int, seed: int = 0, log_every: int = 50):
+    """Continue teacher training from ``model_epoch_{start_epoch}``.
+
+    Trains ``config.epochs`` further epochs, saving as
+    ``model_epoch_{start_epoch + i}`` (reference continue_training.py:48-65).
+    """
+    key = jax.random.PRNGKey(seed + start_epoch)
+
+    payload = load_checkpoint(config.teacher_models_dir, start_epoch)
+    model = make_unet(config, size_factor=1.0)
+    tx = make_optimizer(config)
+    variables = {
+        "params": payload["params"],
+        "batch_stats": payload.get("batch_stats", {}),
+    }
+    state = create_train_state(model, variables, tx)
+    if "opt_state" in payload:
+        # Restore Adam moments (fixing the reference's reset-on-resume gap).
+        from flax import serialization
+
+        state = state.replace(
+            opt_state=serialization.from_state_dict(
+                state.opt_state, payload["opt_state"]
+            )
+        )
+
+    diffusion_params = get_diffusion_params(config.timesteps, config)
+    train_step = make_teacher_train_step(model, tx, diffusion_params, config.timesteps)
+    loader = get_data_loader(config, seed=seed + start_epoch)
+
+    for i in range(config.epochs):
+        epoch = start_epoch + i
+        t0 = time.time()
+        total_loss, n_batches = 0.0, 0
+        for batch_idx, (images, _) in enumerate(loader):
+            key, step_key = jax.random.split(key)
+            state, loss = train_step(state, jnp.asarray(images), step_key)
+            total_loss += float(loss)
+            n_batches += 1
+            if log_every and (batch_idx + 1) % log_every == 0:
+                print(
+                    f"[continue] epoch {epoch + 1} batch {batch_idx + 1}/"
+                    f"{len(loader)} loss {total_loss / n_batches:.5f}"
+                )
+        print(
+            f"[continue] epoch {epoch + 1} avg loss "
+            f"{total_loss / max(n_batches, 1):.5f} ({time.time() - t0:.1f}s)"
+        )
+        if (epoch + 1) % config.save_interval == 0 or i == config.epochs - 1:
+            save_checkpoint(
+                config.teacher_models_dir,
+                epoch + 1,
+                state.params,
+                batch_stats=state.batch_stats,
+                opt_state=state.opt_state,
+            )
+            key, sample_key = jax.random.split(key)
+            generate_sample_grid(
+                model,
+                {"params": state.params, "batch_stats": state.batch_stats},
+                config,
+                diffusion_params,
+                sample_key,
+                os.path.join(config.results_dir, f"samples_epoch_{epoch + 1}.png"),
+            )
+
+    return model, {"params": state.params, "batch_stats": state.batch_stats}

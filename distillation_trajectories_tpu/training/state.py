@@ -1,0 +1,195 @@
+"""Train state and jitted train-step factories.
+
+TPU-native training core: a single donated jitted step per model holding
+params, BatchNorm batch_stats, optimizer state, and optional EMA params.
+Covers the reference teacher loop (train_teacher.py:55-82: dual
+conditional/unconditional ε-MSE loss) and the distillation loop
+(train_students.py:117-176: 4-forward teacher/student matching loss).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..diffusion.process import q_sample
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    ema_params: Any = None
+
+
+def create_train_state(
+    model, variables, tx: optax.GradientTransformation, use_ema: bool = False
+) -> TrainState:
+    params = variables["params"]
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(params),
+        ema_params=params if use_ema else None,
+    )
+
+
+def make_optimizer(config) -> optax.GradientTransformation:
+    """Adam with torch defaults (β=(0.9, 0.999), eps=1e-8).
+
+    The reference declares adam_beta1=0.8 in Config (config.py:32) but its
+    trainers use ``optim.Adam(params, lr)`` with torch defaults
+    (train_teacher.py:49, train_students.py:108) — we match what actually
+    runs.
+    """
+    return optax.adam(config.lr, b1=0.9, b2=0.999, eps=1e-8)
+
+
+def make_eval_model_fn(model, variables) -> Callable:
+    """Eval-mode forward closure: (x, t, cond, cond_mask) -> ε̂."""
+
+    def model_fn(x, t, cond=None, cond_mask=None):
+        return model.apply(variables, x, t, cond=cond, cond_mask=cond_mask, train=False)
+
+    return model_fn
+
+
+def _train_apply(model, params, batch_stats, x, t, cond, cond_mask, dropout_key):
+    """One train-mode forward, returning (output, updated batch_stats)."""
+    out, mutated = model.apply(
+        {"params": params, "batch_stats": batch_stats},
+        x,
+        t,
+        cond=cond,
+        cond_mask=cond_mask,
+        train=True,
+        mutable=["batch_stats"],
+        rngs={"dropout": dropout_key},
+    )
+    return out, mutated["batch_stats"]
+
+
+def make_teacher_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    diffusion_params,
+    timesteps: int,
+    ema_rate: Optional[float] = None,
+):
+    """Jitted teacher step: dual cond/uncond ε-MSE (reference
+    train_teacher.py:68-78).  Both losses share the same ``t`` but use
+    independent noise draws, matching the reference's two separate
+    ``p_losses`` calls."""
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, images: jnp.ndarray, key: jax.Array):
+        b = images.shape[0]
+        kt, kn1, kn2, kd1, kd2 = jax.random.split(key, 5)
+        t = jax.random.randint(kt, (b,), 0, timesteps)
+        ones = jnp.ones((b, 1), dtype=images.dtype)
+        zeros = jnp.zeros((b, 1), dtype=images.dtype)
+
+        def loss_fn(params):
+            bs = state.batch_stats
+            x_noisy1, noise1 = q_sample(images, t, diffusion_params, kn1)
+            pred1, bs = _train_apply(model, params, bs, x_noisy1, t, ones, ones, kd1)
+            loss_cond = jnp.mean((pred1 - noise1) ** 2)
+
+            x_noisy2, noise2 = q_sample(images, t, diffusion_params, kn2)
+            pred2, bs = _train_apply(model, params, bs, x_noisy2, t, zeros, zeros, kd2)
+            loss_uncond = jnp.mean((pred2 - noise2) ** 2)
+
+            return (loss_cond + loss_uncond) / 2.0, bs
+
+        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_ema = state.ema_params
+        if ema_rate is not None and state.ema_params is not None:
+            new_ema = jax.tree_util.tree_map(
+                lambda e, p: ema_rate * e + (1.0 - ema_rate) * p,
+                state.ema_params,
+                new_params,
+            )
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_bs,
+            opt_state=new_opt,
+            ema_params=new_ema,
+        )
+        return new_state, loss
+
+    return train_step
+
+
+def make_distill_train_step(
+    teacher_model,
+    teacher_variables,
+    student_model,
+    tx: optax.GradientTransformation,
+    teacher_diffusion_params,
+    teacher_steps: int,
+    student_steps: int,
+):
+    """Jitted distillation step (reference train_students.py:125-172).
+
+    Per batch: sample t_teacher ~ U[0, T), convert t_student =
+    ⌊t·S/T⌋ (train_students.py:114), noise images with the *teacher's*
+    schedule, run teacher cond/uncond in eval mode (no grad), student
+    cond/uncond in train mode, and minimize the average of the two MSEs
+    between student and teacher predictions.
+    """
+    ratio = student_steps / teacher_steps
+    teacher_fn = make_eval_model_fn(teacher_model, teacher_variables)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, images: jnp.ndarray, key: jax.Array):
+        b = images.shape[0]
+        kt, kn, kd1, kd2 = jax.random.split(key, 4)
+        t_teacher = jax.random.randint(kt, (b,), 0, teacher_steps)
+        t_student = jnp.floor(t_teacher * ratio).astype(jnp.int32)
+        ones = jnp.ones((b, 1), dtype=images.dtype)
+        zeros = jnp.zeros((b, 1), dtype=images.dtype)
+
+        x_noisy, _ = q_sample(images, t_teacher, teacher_diffusion_params, kn)
+        teacher_cond = jax.lax.stop_gradient(teacher_fn(x_noisy, t_teacher, ones, ones))
+        teacher_uncond = jax.lax.stop_gradient(
+            teacher_fn(x_noisy, t_teacher, zeros, zeros)
+        )
+
+        def loss_fn(params):
+            bs = state.batch_stats
+            student_cond, bs = _train_apply(
+                student_model, params, bs, x_noisy, t_student, ones, ones, kd1
+            )
+            student_uncond, bs = _train_apply(
+                student_model, params, bs, x_noisy, t_student, zeros, zeros, kd2
+            )
+            loss_cond = jnp.mean((student_cond - teacher_cond) ** 2)
+            loss_uncond = jnp.mean((student_uncond - teacher_uncond) ** 2)
+            return (loss_cond + loss_uncond) / 2.0, bs
+
+        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_bs,
+            opt_state=new_opt,
+        )
+        return new_state, loss
+
+    return train_step

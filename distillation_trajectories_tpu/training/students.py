@@ -1,0 +1,198 @@
+"""Student distillation across size factors (reference scripts/train_students.py).
+
+Each size factor is a distinct architecture (different channel widths), so
+students cannot be vmapped together; the sweep runs sequentially per size but
+each student's step is a single donated jitted function with the teacher's
+eval forward fused in (4 U-Net forwards + 1 backward per batch,
+train_students.py:117-176).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data import get_data_loader
+from ..diffusion import get_diffusion_params, p_sample_loop
+from ..models import make_unet, init_unet, param_count, param_size_mb
+from ..utils.viz import save_image_grid
+from .checkpoints import (
+    latest_epoch,
+    load_checkpoint,
+    save_checkpoint,
+    variables_from_checkpoint,
+)
+from .state import (
+    create_train_state,
+    make_distill_train_step,
+    make_eval_model_fn,
+    make_optimizer,
+)
+
+
+def print_size_factor_info(size_factors: List[float]) -> None:
+    """Size-factor tier table with sf² param estimates
+    (reference train_students.py:28-63)."""
+    param_counts = {sf: sf**2 for sf in size_factors}
+    tiny = [sf for sf in size_factors if sf < 0.1]
+    small = [sf for sf in size_factors if 0.1 <= sf < 0.3]
+    medium = [sf for sf in size_factors if 0.3 <= sf < 0.7]
+    large = [sf for sf in size_factors if sf >= 0.7]
+    print("Student model size factors:")
+    for category, factors in [
+        ("Tiny", tiny),
+        ("Small", small),
+        ("Medium", medium),
+        ("Large", large),
+    ]:
+        if factors:
+            lo, hi = min(factors), max(factors)
+            print(
+                f"  {category}: {param_counts[lo]:.4f}x to "
+                f"{param_counts[hi]:.4f}x parameters"
+            )
+
+
+def distill_diffusion_model(
+    teacher_model,
+    teacher_variables,
+    config,
+    size_factor: float = 1.0,
+    seed: int = 0,
+    log_every: int = 50,
+):
+    """Distill one student of the given size factor from the teacher.
+
+    Reference ``train_students.py:65-212``.  Returns (model, variables).
+    """
+    key = jax.random.PRNGKey(seed + int(size_factor * 1000))
+    key, init_key = jax.random.split(key)
+
+    teacher_params_d = get_diffusion_params(config.teacher_steps, config)
+    student_params_d = get_diffusion_params(config.student_steps, config)
+
+    student_model = make_unet(config, size_factor=size_factor)
+    variables = init_unet(student_model, config, init_key)
+
+    teacher_mb = param_size_mb(teacher_variables["params"])
+    student_mb = param_size_mb(variables["params"])
+    print(f"Teacher model size: {teacher_mb:.2f} MB")
+    print(
+        f"Student model size: {student_mb:.2f} MB "
+        f"({student_mb / teacher_mb:.2%} of teacher)"
+    )
+
+    tx = make_optimizer(config)
+    state = create_train_state(student_model, variables, tx)
+    train_step = make_distill_train_step(
+        teacher_model,
+        teacher_variables,
+        student_model,
+        tx,
+        teacher_params_d,
+        config.teacher_steps,
+        config.student_steps,
+    )
+
+    loader = get_data_loader(config, seed=seed)
+
+    for epoch in range(config.epochs):
+        t0 = time.time()
+        total_loss, n_batches = 0.0, 0
+        for batch_idx, (images, _) in enumerate(loader):
+            key, step_key = jax.random.split(key)
+            state, loss = train_step(state, jnp.asarray(images), step_key)
+            total_loss += float(loss)
+            n_batches += 1
+            if log_every and (batch_idx + 1) % log_every == 0:
+                print(
+                    f"[distill sf={size_factor}] epoch {epoch + 1} "
+                    f"batch {batch_idx + 1}/{len(loader)} "
+                    f"loss {total_loss / n_batches:.6f}"
+                )
+        print(
+            f"[distill sf={size_factor}] epoch {epoch + 1}/{config.epochs} "
+            f"avg loss {total_loss / max(n_batches, 1):.6f} "
+            f"({time.time() - t0:.1f}s)"
+        )
+
+        if (epoch + 1) % config.save_interval == 0 or epoch == config.epochs - 1:
+            size_dir = config.student_dir(size_factor)
+            save_checkpoint(
+                size_dir,
+                epoch + 1,
+                state.params,
+                batch_stats=state.batch_stats,
+                opt_state=state.opt_state,
+            )
+            if epoch == config.epochs - 1:
+                # End-of-training sample grid (train_students.py:190-210)
+                key, sample_key = jax.random.split(key)
+                model_fn = make_eval_model_fn(
+                    student_model,
+                    {"params": state.params, "batch_stats": state.batch_stats},
+                )
+                samples = p_sample_loop(
+                    model_fn,
+                    (
+                        config.num_samples_to_generate,
+                        config.image_size,
+                        config.image_size,
+                        config.channels,
+                    ),
+                    config.student_steps,
+                    student_params_d,
+                    sample_key,
+                    num_timesteps=config.timesteps,
+                )
+                save_image_grid(
+                    np.asarray(samples),
+                    os.path.join(
+                        config.results_dir,
+                        f"student_samples_size_{size_factor}_epoch_{epoch + 1}.png",
+                    ),
+                    nrow=config.samples_grid_size,
+                    figsize=config.samples_figure_size,
+                )
+
+    return student_model, {"params": state.params, "batch_stats": state.batch_stats}
+
+
+def load_teacher(config, epoch: Optional[int] = None):
+    """Load the teacher model + variables from its checkpoint directory.
+
+    The reference hardcodes ``model_epoch_200.pt`` (train_students.py:235);
+    we accept any epoch and default to the latest available, which closes
+    that usability gap while keeping the same directory contract.
+    """
+    payload = load_checkpoint(config.teacher_models_dir, epoch)
+    model = make_unet(config, size_factor=1.0)
+    return model, variables_from_checkpoint(payload)
+
+
+def train_students(
+    config, custom_size_factors: Optional[List[float]] = None, seed: int = 0
+) -> Dict[float, Tuple[object, dict]]:
+    """Distill students for every size factor (reference train_students.py:214-268)."""
+    teacher_model, teacher_variables = load_teacher(config)
+    size_factors = (
+        custom_size_factors if custom_size_factors else config.student_size_factors
+    )
+    print_size_factor_info(size_factors)
+
+    students: Dict[float, Tuple[object, dict]] = {}
+    for size_factor in size_factors:
+        print(f"\nDistilling to student model with size factor {size_factor}...")
+        students[size_factor] = distill_diffusion_model(
+            teacher_model,
+            teacher_variables,
+            config,
+            size_factor=size_factor,
+            seed=seed,
+        )
+    return students

@@ -1,0 +1,167 @@
+"""Diffusion core tests: schedules, q_sample SNR invariants, samplers."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from distillation_trajectories_tpu.diffusion import (
+    get_diffusion_params,
+    linear_beta_schedule,
+    cosine_beta_schedule,
+    extract,
+    q_sample,
+    p_sample_loop,
+    generate_trajectory_scan,
+    subsampled_timestep_indices,
+    engine_update,
+)
+
+
+def test_linear_schedule_endpoints():
+    betas = linear_beta_schedule(100, 1e-4, 0.02)
+    assert betas.shape == (100,)
+    np.testing.assert_allclose(float(betas[0]), 1e-4, rtol=1e-5)
+    np.testing.assert_allclose(float(betas[-1]), 0.02, rtol=1e-5)
+
+
+def test_cosine_schedule_valid():
+    betas = cosine_beta_schedule(100)
+    assert np.all(np.asarray(betas) > 0)
+    assert np.all(np.asarray(betas) <= 0.999)
+
+
+def test_diffusion_params_keys_and_identities():
+    dp = get_diffusion_params(50)
+    # all six reference keys (utils/diffusion.py:59-66) plus the alphas the
+    # reference's editing modules expected but never got
+    for k in (
+        "betas",
+        "alphas",
+        "alphas_cumprod",
+        "sqrt_recip_alphas",
+        "sqrt_alphas_cumprod",
+        "sqrt_one_minus_alphas_cumprod",
+        "posterior_variance",
+    ):
+        assert k in dp, k
+    ac = np.asarray(dp["alphas_cumprod"])
+    np.testing.assert_allclose(
+        np.asarray(dp["sqrt_alphas_cumprod"]) ** 2, ac, rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(dp["sqrt_one_minus_alphas_cumprod"]) ** 2, 1 - ac, rtol=1e-4
+    )
+    assert np.all(np.diff(ac) < 0)  # strictly decreasing
+
+
+def test_extract_gathers_and_broadcasts():
+    a = jnp.arange(10.0)
+    t = jnp.array([0, 5, 9, 20])  # 20 clamps to 9
+    out = extract(a, t, (4, 8, 8, 3))
+    assert out.shape == (4, 1, 1, 1)
+    np.testing.assert_allclose(np.asarray(out).ravel(), [0, 5, 9, 9])
+
+
+def test_q_sample_snr():
+    """x_t = √ᾱ·x0 + √(1−ᾱ)·ε: variance ≈ ᾱ·var(x0) + (1−ᾱ)."""
+    dp = get_diffusion_params(100)
+    key = jax.random.PRNGKey(0)
+    x0 = jnp.ones((64, 8, 8, 1)) * 0.5
+    t = jnp.full((64,), 50, dtype=jnp.int32)
+    x_noisy, noise = q_sample(x0, t, dp, key)
+    assert x_noisy.shape == x0.shape
+    ac = float(dp["alphas_cumprod"][50])
+    np.testing.assert_allclose(
+        float(jnp.mean(x_noisy)), np.sqrt(ac) * 0.5, atol=0.05
+    )
+    np.testing.assert_allclose(float(jnp.var(x_noisy)), 1 - ac, rtol=0.2)
+
+
+def test_subsampled_indices_match_reference_formula():
+    # reference diffusion.py:194-197
+    idx = subsampled_timestep_indices(100, 100)
+    assert list(idx) == list(range(99, -1, -1))
+    idx2 = subsampled_timestep_indices(100, 10)
+    assert idx2[0] == 90 and idx2[-1] == 0 and len(idx2) == 10
+
+
+def _zero_model(x, t, cond, cond_mask):
+    return jnp.zeros_like(x)
+
+
+def test_p_sample_loop_shapes_and_trajectory():
+    dp = get_diffusion_params(10)
+    img, traj = p_sample_loop(
+        _zero_model,
+        (2, 8, 8, 1),
+        10,
+        dp,
+        jax.random.PRNGKey(0),
+        track_trajectory=True,
+    )
+    assert img.shape == (2, 8, 8, 1)
+    assert traj.shape == (11, 2, 8, 8, 1)
+    np.testing.assert_allclose(np.asarray(traj[-1]), np.asarray(img))
+
+
+def test_engine_trajectory_parity_structure():
+    """T+1 entries; last two identical (reference's no-op t=0 iteration)."""
+    T = 10
+    dp = get_diffusion_params(T)
+    noise = jax.random.normal(jax.random.PRNGKey(3), (1, 8, 8, 1))
+    traj = generate_trajectory_scan(
+        _zero_model, noise, T, dp["alphas"], seed=42, guidance_scale=None
+    )
+    assert traj.shape == (T + 1, 1, 8, 8, 1)
+    np.testing.assert_allclose(np.asarray(traj[-1]), np.asarray(traj[-2]))
+    np.testing.assert_allclose(np.asarray(traj[0]), np.asarray(noise))
+
+
+def test_engine_update_matches_reference_math():
+    """Direct check of c1/c2/σ update against the formulas at
+    trajectory_engine.py:96-110 computed by hand."""
+    x = jnp.ones((1, 2, 2, 1)) * 2.0
+    eps = jnp.ones((1, 2, 2, 1)) * 0.5
+    n = jnp.ones((1, 2, 2, 1)) * 0.1
+    a_t, a_prev = 0.98, 0.99
+    out = engine_update(x, eps, n, a_t, a_prev)
+    c1 = np.sqrt(a_prev) / np.sqrt(a_t)
+    c2 = np.sqrt(1 - a_prev) - np.sqrt(a_prev / a_t) * np.sqrt(1 - a_t)
+    sigma = np.sqrt(1 - a_prev) * np.sqrt(1 - a_t / a_prev)
+    expected = c1 * 2.0 - c2 * 0.5 + sigma * 0.1
+    np.testing.assert_allclose(np.asarray(out), expected, rtol=1e-5)
+
+
+def test_trajectory_noise_deterministic_in_seed():
+    """Same seed ⇒ identical trajectories; different seeds ⇒ different."""
+    T = 8
+    dp = get_diffusion_params(T)
+    noise = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 8, 1))
+    t1 = generate_trajectory_scan(_zero_model, noise, T, dp["alphas"], seed=7)
+    t2 = generate_trajectory_scan(_zero_model, noise, T, dp["alphas"], seed=7)
+    t3 = generate_trajectory_scan(_zero_model, noise, T, dp["alphas"], seed=8)
+    np.testing.assert_allclose(np.asarray(t1), np.asarray(t2))
+    assert not np.allclose(np.asarray(t1), np.asarray(t3))
+
+
+def test_cfg_trajectory_uses_guidance(test_config):
+    """CFG path must differ from no-CFG path with a cond-sensitive model."""
+    import jax
+
+    from distillation_trajectories_tpu.models import make_unet, init_unet
+
+    model = make_unet(test_config, size_factor=0.1)
+    variables = init_unet(model, test_config, jax.random.PRNGKey(0))
+
+    def model_fn(x, t, cond, cond_mask):
+        return model.apply(variables, x, t, cond=cond, cond_mask=cond_mask)
+
+    T = 5
+    dp = get_diffusion_params(T)
+    noise = jax.random.normal(jax.random.PRNGKey(2), (1, 16, 16, 1))
+    t_plain = generate_trajectory_scan(model_fn, noise, T, dp["alphas"], seed=1)
+    t_cfg = generate_trajectory_scan(
+        model_fn, noise, T, dp["alphas"], seed=1, guidance_scale=5.0
+    )
+    assert t_plain.shape == t_cfg.shape == (T + 1, 1, 16, 16, 1)
+    assert not np.allclose(np.asarray(t_plain[1:]), np.asarray(t_cfg[1:]))
