@@ -26,6 +26,9 @@ CKPT_RE = re.compile(r"model_epoch_(\d+)\.(msgpack|pt)$")
 
 
 def _to_numpy(tree):
+    # to_state_dict converts NamedTuple optimizer states (optax) into plain
+    # dicts so the whole payload is msgpack-serializable.
+    tree = serialization.to_state_dict(tree)
     return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
 
 

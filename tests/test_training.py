@@ -1,0 +1,110 @@
+"""Training stack tests: teacher step, distillation step, checkpoints."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from distillation_trajectories_tpu.diffusion import get_diffusion_params
+from distillation_trajectories_tpu.models import make_unet, init_unet
+from distillation_trajectories_tpu.training import (
+    create_train_state,
+    make_optimizer,
+    make_teacher_train_step,
+    make_distill_train_step,
+    save_checkpoint,
+    load_checkpoint,
+    latest_epoch,
+    available_epochs,
+    variables_from_checkpoint,
+)
+
+
+def _setup(test_config, sf=0.1):
+    model = make_unet(test_config, size_factor=sf)
+    variables = init_unet(model, test_config, jax.random.PRNGKey(0))
+    tx = make_optimizer(test_config)
+    state = create_train_state(model, variables, tx)
+    return model, variables, tx, state
+
+
+def test_teacher_train_step_decreases_loss(test_config):
+    model, variables, tx, state = _setup(test_config)
+    dp = get_diffusion_params(test_config.timesteps, test_config)
+    step = make_teacher_train_step(model, tx, dp, test_config.timesteps)
+    images = jnp.asarray(
+        np.random.default_rng(0).uniform(-1, 1, (8, 16, 16, 1)).astype(np.float32)
+    )
+    key = jax.random.PRNGKey(1)
+    losses = []
+    for i in range(8):
+        key, sk = jax.random.split(key)
+        state, loss = step(state, images, sk)
+        losses.append(float(loss))
+    assert int(state.step) == 8
+    assert np.isfinite(losses).all()
+    # loss should broadly decrease on a fixed batch
+    assert np.mean(losses[-3:]) < np.mean(losses[:3])
+
+
+def test_distill_train_step_runs(test_config):
+    teacher_model, teacher_vars, _, _ = _setup(test_config, sf=0.2)
+    student_model, student_vars, tx, state = _setup(test_config, sf=0.1)
+    dp = get_diffusion_params(test_config.teacher_steps, test_config)
+    step = make_distill_train_step(
+        teacher_model,
+        teacher_vars,
+        student_model,
+        tx,
+        dp,
+        test_config.teacher_steps,
+        test_config.student_steps,
+    )
+    images = jnp.asarray(
+        np.random.default_rng(0).uniform(-1, 1, (8, 16, 16, 1)).astype(np.float32)
+    )
+    losses = []
+    state0_params = jax.tree_util.tree_leaves(state.params)[0].copy()
+    key = jax.random.PRNGKey(2)
+    for _ in range(4):
+        key, sk = jax.random.split(key)
+        state, loss = step(state, images, sk)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert not np.allclose(
+        state0_params, jax.tree_util.tree_leaves(state.params)[0]
+    )
+
+
+def test_checkpoint_roundtrip_and_latest(test_config, tmp_path):
+    model, variables, tx, state = _setup(test_config)
+    d = str(tmp_path / "ckpts")
+    for epoch in (1, 2, 10):
+        save_checkpoint(d, epoch, state.params, batch_stats=state.batch_stats,
+                        opt_state=state.opt_state)
+    assert available_epochs(d) == [1, 2, 10]
+    assert latest_epoch(d) == 10
+    payload = load_checkpoint(d)  # latest
+    assert payload["epoch"] == 10
+    restored = variables_from_checkpoint(payload)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(restored["params"]),
+        jax.tree_util.tree_leaves(state.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    payload5 = load_checkpoint(d, 2)
+    assert payload5["epoch"] == 2
+
+
+def test_data_loader(test_config):
+    from distillation_trajectories_tpu.data import get_data_loader, get_real_images
+
+    loader = get_data_loader(test_config)
+    batches = list(iter(loader))
+    assert len(batches) == len(loader) > 0
+    images, labels = batches[0]
+    assert images.shape == (8, 16, 16, 1)
+    assert images.min() >= -1.0 and images.max() <= 1.0
+    real = get_real_images(test_config, 5)
+    assert real.shape == (5, 16, 16, 1)
