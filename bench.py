@@ -1,0 +1,133 @@
+"""Benchmark: trajectories/sec/chip for 50-step CFG sampling (BASELINE.json).
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Workload (BASELINE.json config): teacher-size (size_factor=1.0) U-Net,
+CIFAR-10 32×32×3 shapes, T=50 reverse steps with fused CFG (guidance 3.0),
+the trajectory-engine formulation compiled as one lax.scan — trajectories
+stay on device end to end.
+
+``vs_baseline`` measures the reference PyTorch U-Net's CPU per-step forward
+cost (imported from the read-only reference mount at runtime; nothing is
+copied) and extrapolates reference trajectories/sec for the same T.  If the
+reference import fails, a cached measurement from ``.bench_baseline.json``
+is used.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+T_STEPS = 50
+BATCH = 64  # noise samples per trajectory batch
+GUIDANCE = 3.0
+CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_baseline.json")
+
+
+def bench_tpu() -> float:
+    """Our framework's trajectories/sec on the default device."""
+    import jax
+    import jax.numpy as jnp
+
+    from distillation_trajectories_tpu import Config
+    from distillation_trajectories_tpu.diffusion import (
+        get_diffusion_params,
+        generate_trajectory_scan,
+    )
+    from distillation_trajectories_tpu.models import make_unet, init_unet
+    from distillation_trajectories_tpu.training import make_eval_model_fn
+
+    config = Config(base_dir="/tmp/bench", timesteps=T_STEPS, sample_steps=T_STEPS)
+    model = make_unet(config, size_factor=1.0)
+    variables = init_unet(model, config, jax.random.PRNGKey(0))
+    model_fn = make_eval_model_fn(model, variables)
+    dp = get_diffusion_params(T_STEPS, config)
+
+    @jax.jit
+    def run(noise, seed):
+        return generate_trajectory_scan(
+            model_fn, noise, T_STEPS, dp["alphas"], seed, guidance_scale=GUIDANCE
+        )
+
+    noise = jax.random.normal(
+        jax.random.PRNGKey(1), (BATCH, config.image_size, config.image_size, 3)
+    )
+    # warmup/compile
+    run(noise, 0).block_until_ready()
+    iters = 5
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = run(noise, i)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+    return BATCH * iters / dt
+
+
+def bench_reference_cpu() -> float:
+    """Reference torch U-Net on CPU: extrapolated trajectories/sec.
+
+    Times the fused-CFG forward (batch 2, trajectory_engine.py:68-80) and
+    scales by T; the host-side update math is negligible in comparison.
+    """
+    try:
+        import torch
+
+        sys.path.insert(0, "/root/reference")
+        from models import DiffusionUNet as RefUNet  # reference, not copied
+
+        class _Cfg:
+            channels = 3
+            dropout = 0.3
+
+        torch.set_num_threads(os.cpu_count() or 8)
+        model = RefUNet(_Cfg(), size_factor=1.0).eval()
+        x = torch.randn(2, 3, 32, 32)
+        t = torch.tensor([25, 25])
+        c = torch.cat([torch.zeros(1, 1), torch.ones(1, 1)])
+        with torch.no_grad():
+            for _ in range(2):  # warmup
+                model(x, t, c)
+            n = 6
+            t0 = time.perf_counter()
+            for _ in range(n):
+                model(x, t, c)
+            step_time = (time.perf_counter() - t0) / n
+        traj_per_sec = 1.0 / (T_STEPS * step_time)
+        with open(CACHE, "w") as f:
+            json.dump({"ref_traj_per_sec_cpu": traj_per_sec}, f)
+        return traj_per_sec
+    except Exception as e:
+        print(f"# reference baseline measurement failed: {e}", file=sys.stderr)
+        if os.path.exists(CACHE):
+            with open(CACHE) as f:
+                return json.load(f)["ref_traj_per_sec_cpu"]
+        return float("nan")
+
+
+def main():
+    import contextlib
+
+    # Keep stdout to the single JSON line (the reference model constructor
+    # prints to stdout); route everything else to stderr.
+    with contextlib.redirect_stdout(sys.stderr):
+        ours = bench_tpu()
+        ref = bench_reference_cpu()
+    vs = ours / ref if ref and np.isfinite(ref) else None
+    print(
+        json.dumps(
+            {
+                "metric": "trajectories/sec/chip (50-step CFG sampling, 32x32 teacher U-Net)",
+                "value": round(ours, 3),
+                "unit": "trajectories/s",
+                "vs_baseline": round(vs, 2) if vs else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

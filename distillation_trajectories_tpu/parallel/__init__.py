@@ -1,0 +1,17 @@
+"""Multi-chip scaling: mesh construction + NamedSharding annotations.
+
+Usage: build a mesh, `shard_train_state`/`shard_batch` the inputs, and call
+the ordinary jitted train step — XLA GSPMD partitions the computation and
+inserts psum/all-gather collectives over ICI.
+"""
+from .mesh import (
+    DATA_AXIS,
+    MODEL_AXIS,
+    make_mesh,
+    batch_sharding,
+    replicated,
+    param_spec,
+    shard_params,
+    shard_train_state,
+    shard_batch,
+)

@@ -1,0 +1,93 @@
+"""Device mesh construction and named-sharding helpers.
+
+The reference is strictly single-process single-device (SURVEY.md preamble);
+scaling here is TPU-native: a ``jax.sharding.Mesh`` with ``data`` (batch /
+trajectory-sample) and ``model`` (channel-tensor-parallel) axes, NamedSharding
+annotations on params/batches, and XLA GSPMD inserting the collectives over
+ICI.  No hand-rolled communication backend.
+
+Applicability note: this model family is a small conv U-Net on ≤32×32 images
+— pipeline, sequence, and expert parallelism have no natural axis here (no
+layers to stage at this scale, no sequence dimension, no experts).  The
+meaningful axes are data (batch × trajectory samples × the 11-student sweep)
+and tensor (conv channels), which is what this module implements.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(
+    shape: Optional[Tuple[int, int]] = None,
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    """Create a (data, model) mesh.
+
+    ``shape=None`` uses all available devices on the data axis.
+    """
+    if devices is None:
+        devices = jax.devices()
+    if shape is None:
+        shape = (len(devices), 1)
+    n = shape[0] * shape[1]
+    dev_array = np.asarray(devices[:n]).reshape(shape)
+    return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def param_spec(leaf: jax.Array, model_size: int) -> P:
+    """Partition spec for one param leaf: shard the trailing (output-channel)
+    dim over the model axis when divisible, otherwise replicate.
+
+    Covers NHWC conv kernels (kh, kw, in, out), dense kernels (in, out), and
+    per-channel vectors (bias, BN scale/bias/stats).
+    """
+    if model_size <= 1 or leaf.ndim == 0:
+        return P()
+    if leaf.shape[-1] % model_size == 0 and leaf.shape[-1] >= model_size:
+        return P(*([None] * (leaf.ndim - 1) + [MODEL_AXIS]))
+    return P()
+
+
+def shard_params(tree, mesh: Mesh):
+    """device_put a param/batch_stats pytree with channel-TP shardings."""
+    model_size = mesh.shape[MODEL_AXIS]
+
+    def put(leaf):
+        leaf = jax.numpy.asarray(leaf)
+        return jax.device_put(leaf, NamedSharding(mesh, param_spec(leaf, model_size)))
+
+    return jax.tree_util.tree_map(put, tree)
+
+
+def shard_train_state(state, mesh: Mesh):
+    """Shard a TrainState: params/opt_state/batch_stats channel-TP,
+    scalars replicated."""
+    model_size = mesh.shape[MODEL_AXIS]
+
+    def put(leaf):
+        leaf = jax.numpy.asarray(leaf)
+        return jax.device_put(leaf, NamedSharding(mesh, param_spec(leaf, model_size)))
+
+    return jax.tree_util.tree_map(put, state)
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Shard an NHWC batch over the data axis."""
+    return jax.device_put(jax.numpy.asarray(batch), batch_sharding(mesh))

@@ -13,6 +13,12 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# The axon TPU plugin in this image ignores the JAX_PLATFORMS env var; the
+# config flag is honored, so set it too (before any backend initialization).
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
