@@ -3,7 +3,11 @@
 A from-scratch JAX/Flax/Pallas rebuild of the capabilities of
 henriChevreux/distillation_trajectories: DDPM teacher training, multi-size
 student distillation, scan-compiled trajectory generation with fused CFG, a
-vmapped trajectory-metric suite, and the full analysis/visualization stack.
+vmapped trajectory-metric suite, and the full analysis/visualization/editing
+stack.
+
+The re-exports below mirror the reference's canonical public API
+(``analysis/__init__.py:5-35``).
 """
 
 __version__ = "0.1.0"
@@ -17,4 +21,23 @@ from .diffusion import (
     p_sample,
     p_sample_loop,
     generate_trajectory_scan,
+)
+
+# Canonical analysis API (reference analysis/__init__.py:5-35)
+from .trajectories import compare_trajectories, generate_trajectory
+from .metrics import (
+    compute_trajectory_metrics,
+    transform_metrics,
+    visualize_metrics,
+    visualize_batch_metrics,
+    calculate_fid,
+    calculate_and_visualize_fid,
+    analyze_time_dependent_distances,
+    plot_mse_vs_size,
+    plot_metrics_vs_size,
+)
+from .analysis import (
+    dimensionality_reduction_analysis,
+    analyze_noise_prediction,
+    generate_latent_space_visualization,
 )

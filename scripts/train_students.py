@@ -1,0 +1,62 @@
+"""Student distillation CLI (reference scripts/train_students.py:270-327 —
+same flags including --custom_size_factors)."""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from _common import project_root  # noqa: E402,F401
+
+
+def main():
+    parser = argparse.ArgumentParser(
+        description="Train student diffusion models with various size factors",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
+    )
+    parser.add_argument(
+        "--custom_size_factors", type=str, default=None,
+        help='Comma-separated size factors, e.g. "0.1,0.5,0.9"',
+    )
+    parser.add_argument("--epochs", type=int, default=None,
+                        help="Override the number of epochs for distillation")
+    parser.add_argument("--dataset", type=str, default=None,
+                        choices=["MNIST", "CIFAR10"])
+    parser.add_argument("--image_size", type=int, default=None)
+    parser.add_argument("--batch_size", type=int, default=None)
+    parser.add_argument("--timesteps", type=int, default=None)
+    parser.add_argument("--teacher_epoch", type=int, default=None,
+                        help="Teacher checkpoint epoch (latest when omitted)")
+    parser.add_argument("--seed", type=int, default=0)
+    args = parser.parse_args()
+
+    from distillation_trajectories_tpu import Config
+    from distillation_trajectories_tpu.training import train_students
+
+    config = Config()
+    if args.epochs is not None:
+        config.epochs = args.epochs
+    if args.dataset is not None:
+        config.dataset = args.dataset
+    if args.image_size is not None:
+        config.image_size = args.image_size
+    if args.batch_size is not None:
+        config.batch_size = args.batch_size
+    if args.timesteps is not None:
+        config.timesteps = args.timesteps
+        config.sample_steps = args.timesteps
+        config.teacher_steps = args.timesteps
+        config.student_steps = args.timesteps
+    config.create_directories()
+
+    custom = None
+    if args.custom_size_factors:
+        # reference parse (train_students.py:303-310)
+        custom = [float(sf) for sf in args.custom_size_factors.split(",")]
+        print(f"Using custom size factors: {custom}")
+
+    train_students(config, custom_size_factors=custom, seed=args.seed)
+
+
+if __name__ == "__main__":
+    main()

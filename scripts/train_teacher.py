@@ -1,0 +1,54 @@
+"""Teacher training CLI (reference scripts/train_teacher.py:112-173 —
+same flags)."""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from _common import project_root  # noqa: E402,F401
+
+
+def main():
+    parser = argparse.ArgumentParser(
+        description="Train a diffusion model teacher",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
+    )
+    parser.add_argument("--epochs", type=int, default=None,
+                        help="Override the number of epochs for training")
+    parser.add_argument("--dataset", type=str, default=None,
+                        choices=["MNIST", "CIFAR10"],
+                        help="Dataset to use for training")
+    parser.add_argument("--image_size", type=int, default=None,
+                        help="Size of images to use for training")
+    parser.add_argument("--batch_size", type=int, default=None,
+                        help="Batch size for training")
+    parser.add_argument("--timesteps", type=int, default=None,
+                        help="Number of timesteps for diffusion process")
+    parser.add_argument("--seed", type=int, default=0)
+    args = parser.parse_args()
+
+    from distillation_trajectories_tpu import Config
+    from distillation_trajectories_tpu.training import train_teacher
+
+    config = Config()
+    if args.epochs is not None:
+        config.epochs = args.epochs
+    if args.dataset is not None:
+        config.dataset = args.dataset
+    if args.image_size is not None:
+        config.image_size = args.image_size
+    if args.batch_size is not None:
+        config.batch_size = args.batch_size
+    if args.timesteps is not None:
+        config.timesteps = args.timesteps
+        config.sample_steps = args.timesteps
+        config.teacher_steps = args.timesteps
+        config.student_steps = args.timesteps
+    config.create_directories()
+
+    train_teacher(config, seed=args.seed)
+
+
+if __name__ == "__main__":
+    main()
