@@ -1,0 +1,11 @@
+"""Utilities: visualization, profiling/observability."""
+from .viz import make_grid, save_image_grid
+from .profiling import (
+    phase_timer,
+    phase_times,
+    dump_phase_times,
+    reset_phase_times,
+    profile_trace,
+    enable_nan_checks,
+    MetricsLogger,
+)

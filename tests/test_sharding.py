@@ -1,0 +1,106 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from distillation_trajectories_tpu.parallel import (
+    DATA_AXIS,
+    MODEL_AXIS,
+    make_mesh,
+    param_spec,
+    shard_batch,
+    shard_params,
+    shard_train_state,
+)
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) >= 8
+
+
+def test_make_mesh_shapes():
+    mesh = make_mesh((4, 2))
+    assert mesh.shape[DATA_AXIS] == 4
+    assert mesh.shape[MODEL_AXIS] == 2
+
+
+def test_param_spec_rules():
+    from jax.sharding import PartitionSpec as P
+
+    conv = jnp.zeros((3, 3, 16, 64))
+    assert param_spec(conv, 2) == P(None, None, None, MODEL_AXIS)
+    odd = jnp.zeros((3, 3, 16, 7))  # 7 not divisible → replicate
+    assert param_spec(odd, 2) == P()
+    scalar = jnp.zeros(())
+    assert param_spec(scalar, 2) == P()
+    assert param_spec(conv, 1) == P()
+
+
+def test_sharded_teacher_train_step(test_config):
+    """Full teacher train step over a 4×2 (data × model) mesh."""
+    from distillation_trajectories_tpu.diffusion import get_diffusion_params
+    from distillation_trajectories_tpu.models import make_unet, init_unet
+    from distillation_trajectories_tpu.training import (
+        create_train_state,
+        make_optimizer,
+        make_teacher_train_step,
+    )
+
+    mesh = make_mesh((4, 2))
+    model = make_unet(test_config, size_factor=0.25)  # 32-ch base, TP-divisible
+    variables = init_unet(model, test_config, jax.random.PRNGKey(0))
+    tx = make_optimizer(test_config)
+    state = shard_train_state(
+        create_train_state(model, variables, tx), mesh
+    )
+    dp = get_diffusion_params(test_config.timesteps, test_config)
+    step = make_teacher_train_step(model, tx, dp, test_config.timesteps)
+
+    images = shard_batch(
+        np.random.default_rng(0).uniform(-1, 1, (16, 16, 16, 1)).astype(np.float32),
+        mesh,
+    )
+    state, loss = step(state, images, jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss))
+    # params carried their channel-TP sharding through the step
+    kernel = state.params["enc1"]["conv1"]["kernel"]
+    assert len(kernel.sharding.device_set) >= 2
+
+
+def test_sharded_trajectory_generation(test_config):
+    """CFG trajectory scan with the noise batch sharded over data axis."""
+    from distillation_trajectories_tpu.diffusion import (
+        get_diffusion_params,
+        generate_trajectory_scan,
+    )
+    from distillation_trajectories_tpu.models import make_unet, init_unet
+    from distillation_trajectories_tpu.training import make_eval_model_fn
+
+    mesh = make_mesh((8, 1))
+    model = make_unet(test_config, size_factor=0.1)
+    variables = init_unet(model, test_config, jax.random.PRNGKey(0))
+    model_fn = make_eval_model_fn(model, variables)
+    dp = get_diffusion_params(test_config.timesteps, test_config)
+
+    noise = shard_batch(
+        np.random.default_rng(1).standard_normal((8, 16, 16, 1)).astype(np.float32),
+        mesh,
+    )
+    traj = jax.jit(
+        lambda n: generate_trajectory_scan(
+            model_fn, n, test_config.timesteps, dp["alphas"], 0,
+            guidance_scale=3.0,
+        )
+    )(noise)
+    traj.block_until_ready()
+    assert traj.shape == (test_config.timesteps + 1, 8, 16, 16, 1)
+    # result equals the unsharded computation
+    unsharded = generate_trajectory_scan(
+        model_fn, jax.device_get(noise), test_config.timesteps, dp["alphas"], 0,
+        guidance_scale=3.0,
+    )
+    np.testing.assert_allclose(
+        np.asarray(traj), np.asarray(unsharded), rtol=2e-4, atol=1e-5
+    )
