@@ -23,7 +23,7 @@ import time
 import numpy as np
 
 T_STEPS = 50
-BATCH = 64  # noise samples per trajectory batch
+BATCH = 256  # noise samples per trajectory batch (throughput-optimal on v5e)
 GUIDANCE = 3.0
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_baseline.json")
 
