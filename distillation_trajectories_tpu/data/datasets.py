@@ -183,27 +183,63 @@ class DataLoader:
     """Epoch-reshuffled batch iterator (reference data/dataset.py:15-64).
 
     Yields NHWC float32 numpy batches in [−1, 1]; ``drop_last`` semantics
-    match the reference.
+    match the reference.  Shuffling and batch gathers run through the native
+    C++ pipeline (native/dtt_data.cpp) when it builds, with a numpy
+    fallback; a background thread prefetches the next batch so host-side
+    data prep overlaps device steps (the TPU-native analog of the
+    reference's DataLoader worker processes).
     """
 
     def __init__(self, images: np.ndarray, labels: np.ndarray, batch_size: int,
-                 shuffle: bool = True, seed: int = 0):
-        self.images = images
+                 shuffle: bool = True, seed: int = 0, prefetch: int = 2):
+        self.images = np.ascontiguousarray(images, dtype=np.float32)
         self.labels = labels
         self.batch_size = batch_size
         self.shuffle = shuffle
-        self._rng = np.random.default_rng(seed)
+        self.seed = seed
+        self.prefetch = prefetch
+        self._epoch = 0
 
     def __len__(self) -> int:
         return len(self.images) // self.batch_size
 
-    def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
-        idx = np.arange(len(self.images))
+    def _epoch_batches(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        from .native import gather_f32, shuffle_indices
+
+        n = len(self.images)
         if self.shuffle:
-            self._rng.shuffle(idx)
+            idx = shuffle_indices(n, self.seed * 1_000_003 + self._epoch)
+        else:
+            idx = np.arange(n, dtype=np.int64)
         for i in range(len(self)):
             sel = idx[i * self.batch_size : (i + 1) * self.batch_size]
-            yield self.images[sel], self.labels[sel]
+            yield gather_f32(self.images, sel), self.labels[sel]
+
+    def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        self._epoch += 1
+        if self.prefetch <= 0:
+            yield from self._epoch_batches()
+            return
+
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+
+        def producer():
+            for batch in self._epoch_batches():
+                q.put(batch)
+            q.put(sentinel)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+        thread.join()
 
 
 def get_data_loader(config, train: bool = True, seed: int = 0) -> DataLoader:
