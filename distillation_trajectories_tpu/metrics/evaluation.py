@@ -181,3 +181,8 @@ def visualize_evaluation_metrics(
             f.write(f"  Average Similarity: {td['avg_similarity']:.4f}\n")
             f.write(f"  Minimum Similarity: {td['min_similarity']:.4f}\n")
             f.write(f"  Length Ratio: {td['length_ratio']:.4f}\n")
+
+
+# Reference naming alias (evaluation/metrics.py defines ``visualize_metrics``;
+# renamed here to avoid clashing with the trajectory-metrics visualizer).
+visualize_metrics = visualize_evaluation_metrics
