@@ -112,6 +112,9 @@ class Config:
     # Use EMA params for sampling/eval when available (ref declares ema_rate
     # but never uses it; off by default for parity).
     use_ema: bool = False
+    # Rematerialize U-Net blocks in the backward pass (activation-memory ↔
+    # FLOPs trade for larger per-chip batches).
+    remat: bool = False
     # Root directory override (tests point this at a tmpdir).
     base_dir: Optional[str] = None
 

@@ -102,21 +102,35 @@ class TrajectoryManager:
             f"trajectory_size_{self.size_factor}_sample_{index}.npz",
         )
 
-    def generate_and_save_trajectories(self, num_samples: int = 10) -> List[str]:
+    def generate_and_save_trajectories(
+        self, num_samples: int = 10, chunk_size: Optional[int] = None
+    ) -> List[str]:
         """Generate + persist ``num_samples`` pairs
         (reference trajectory_manager.py:207-263).
 
-        All pairs are generated in one vmapped device call, then written as
-        npz files with the reference filename stems.
+        Pairs are generated in vmapped device calls of ``chunk_size`` samples
+        (default: all at once) and streamed to host npz files with the
+        reference filename stems — the chunking bounds device memory for
+        large T×samples sweeps (SURVEY.md §7 'trajectory memory').
         """
+        if chunk_size is not None and chunk_size < num_samples:
+            paths: List[str] = []
+            for start in range(0, num_samples, chunk_size):
+                n = min(chunk_size, num_samples - start)
+                paths.extend(self._generate_chunk(start, n))
+            return paths
+        return self._generate_chunk(0, num_samples)
+
+    def _generate_chunk(self, start: int, num_samples: int) -> List[str]:
         cfg = self.config
-        if self.fixed_samples is not None and num_samples <= len(self.fixed_samples):
+        end = start + num_samples
+        if self.fixed_samples is not None and end <= len(self.fixed_samples):
             print(f"Using {num_samples} fixed samples for consistent comparison")
             noises = jnp.asarray(
                 np.stack(
                     [np.asarray(s).reshape(
                         cfg.image_size, cfg.image_size, cfg.channels
-                    ) for s in self.fixed_samples[:num_samples]]
+                    ) for s in self.fixed_samples[start:end]]
                 ),
                 dtype=jnp.float32,
             )
@@ -127,10 +141,10 @@ class TrajectoryManager:
                         jax.random.PRNGKey(i),
                         (cfg.image_size, cfg.image_size, cfg.channels),
                     )
-                    for i in range(num_samples)
+                    for i in range(start, end)
                 ]
             )
-        seeds = jnp.arange(num_samples, dtype=jnp.int32)
+        seeds = jnp.arange(start, end, dtype=jnp.int32)
         t_trajs, s_trajs = self._pair_fn()(noises, seeds)
         t_trajs, s_trajs = np.asarray(t_trajs), np.asarray(s_trajs)
         # Timestep labels: descending T-1..0 plus the initial state's T
@@ -139,7 +153,7 @@ class TrajectoryManager:
 
         file_paths = []
         for i in range(num_samples):
-            path = self._file_path(i)
+            path = self._file_path(start + i)
             np.savez_compressed(
                 path,
                 teacher=t_trajs[i],

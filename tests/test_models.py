@@ -107,3 +107,34 @@ def test_train_mode_updates_batch_stats(test_config):
     old = jax.tree_util.tree_leaves(variables["batch_stats"])
     new = jax.tree_util.tree_leaves(mutated["batch_stats"])
     assert any(not np.allclose(a, b) for a, b in zip(old, new))
+
+
+def test_remat_model_matches_and_trains(test_config):
+    """remat=True must be numerically identical in forward and usable in a
+    train step (activation-memory trade only)."""
+    import jax
+    import jax.numpy as jnp
+
+    from distillation_trajectories_tpu.diffusion import get_diffusion_params
+    from distillation_trajectories_tpu.models.unet import DiffusionUNet
+    from distillation_trajectories_tpu.training import (
+        create_train_state,
+        make_optimizer,
+        make_teacher_train_step,
+    )
+
+    base = DiffusionUNet(channels=1, size_factor=0.1, dropout=0.3)
+    remat = DiffusionUNet(channels=1, size_factor=0.1, dropout=0.3, remat=True)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 1))
+    t = jnp.array([1.0, 3.0])
+    variables = base.init({"params": jax.random.PRNGKey(0)}, x, t)
+    out_a = base.apply(variables, x, t)
+    out_b = remat.apply(variables, x, t)  # same params work in both
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b), atol=1e-6)
+
+    tx = make_optimizer(test_config)
+    state = create_train_state(remat, variables, tx)
+    dp = get_diffusion_params(test_config.timesteps, test_config)
+    step = make_teacher_train_step(remat, tx, dp, test_config.timesteps)
+    state, loss = step(state, x, jax.random.PRNGKey(2))
+    assert np.isfinite(float(loss))
