@@ -108,6 +108,34 @@ def bench_reference_cpu() -> float:
         return float("nan")
 
 
+def bench_metric_suite() -> float:
+    """Auxiliary: paired-trajectory metric-suite throughput (pairs/s) for the
+    full 15-metric on-device suite at T=50, 32×32×3 (stderr only)."""
+    import jax
+
+    from distillation_trajectories_tpu.metrics.trajectory_metrics import (
+        _metrics_core,
+    )
+
+    s, n = 32, T_STEPS + 1
+    key = jax.random.PRNGKey(0)
+    t_trajs = jax.random.normal(key, (s, n, 32, 32, 3))
+    s_trajs = t_trajs + 0.1
+    keys = jax.random.split(key, s)
+
+    @jax.jit
+    def run(a, b, k):
+        return jax.vmap(lambda x, y, kk: _metrics_core(x, y, kk))(a, b, k)
+
+    jax.block_until_ready(run(t_trajs, s_trajs, keys))
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = run(t_trajs, s_trajs, keys)
+    jax.block_until_ready(out)
+    return s * iters / (time.perf_counter() - t0)
+
+
 def main():
     import contextlib
 
@@ -116,6 +144,12 @@ def main():
     with contextlib.redirect_stdout(sys.stderr):
         ours = bench_tpu()
         ref = bench_reference_cpu()
+        try:
+            pairs_per_s = bench_metric_suite()
+            print(f"# metric-suite: {pairs_per_s:.1f} trajectory-pairs/s "
+                  f"(15 metrics, T={T_STEPS})", file=sys.stderr)
+        except Exception as e:
+            print(f"# metric-suite bench failed: {e}", file=sys.stderr)
     vs = ours / ref if ref and np.isfinite(ref) else None
     print(
         json.dumps(

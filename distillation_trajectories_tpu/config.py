@@ -115,6 +115,9 @@ class Config:
     # Rematerialize U-Net blocks in the backward pass (activation-memory ↔
     # FLOPs trade for larger per-chip batches).
     remat: bool = False
+    # Normalization layer: "batch" (reference parity) or "group"
+    # (batch-independent — safe under vmap/scan, no mutable state).
+    norm: str = "batch"
     # Root directory override (tests point this at a tmpdir).
     base_dir: Optional[str] = None
 

@@ -152,6 +152,24 @@ class Block(nn.Module):
     out_ch: int
     time_emb_dim: int
     dtype: jnp.dtype = jnp.float32
+    norm: str = "batch"
+
+    def _norm(self, name: str):
+        if self.norm == "group":
+            # Batch-independent normalization: no mutable batch_stats, no
+            # train/eval divergence — the TPU-friendly alternative flagged in
+            # SURVEY.md §7 (BatchNorm under jit/scan/vmap is the riskiest
+            # parity point).  Off by default for reference parity.
+            return nn.GroupNorm(
+                num_groups=min(32, self.out_ch), name=name, dtype=self.dtype
+            )
+        return nn.BatchNorm(
+            use_running_average=True,  # overridden below for batch mode
+            momentum=0.9,
+            epsilon=1e-5,
+            name=name,
+            dtype=self.dtype,
+        )
 
     @nn.compact
     def __call__(self, x, time_emb, train: bool = False):
@@ -163,13 +181,16 @@ class Block(nn.Module):
             )(x)
 
         h = _conv(self.out_ch, in_ch, 3, "conv1", self.dtype, padding=1)(x)
-        h = nn.BatchNorm(
-            use_running_average=not train,
-            momentum=0.9,
-            epsilon=1e-5,
-            name="norm1",
-            dtype=self.dtype,
-        )(h)
+        if self.norm == "group":
+            h = self._norm("norm1")(h)
+        else:
+            h = nn.BatchNorm(
+                use_running_average=not train,
+                momentum=0.9,
+                epsilon=1e-5,
+                name="norm1",
+                dtype=self.dtype,
+            )(h)
         h = nn.relu(h)
 
         t_bias = nn.relu(
@@ -178,13 +199,16 @@ class Block(nn.Module):
         h = h + t_bias[:, None, None, :]
 
         h = _conv(self.out_ch, self.out_ch, 3, "conv2", self.dtype, padding=1)(h)
-        h = nn.BatchNorm(
-            use_running_average=not train,
-            momentum=0.9,
-            epsilon=1e-5,
-            name="norm2",
-            dtype=self.dtype,
-        )(h)
+        if self.norm == "group":
+            h = self._norm("norm2")(h)
+        else:
+            h = nn.BatchNorm(
+                use_running_average=not train,
+                momentum=0.9,
+                epsilon=1e-5,
+                name="norm2",
+                dtype=self.dtype,
+            )(h)
         h = nn.relu(h)
         return h + residual
 
@@ -208,6 +232,8 @@ class DiffusionUNet(nn.Module):
     # trades ~30% extra FLOPs for activation memory, enabling much larger
     # train batches per chip.
     remat: bool = False
+    # "batch" (reference parity) or "group" (batch-independent, TPU-friendly).
+    norm: str = "batch"
 
     @property
     def time_emb_dim(self) -> int:
@@ -265,17 +291,17 @@ class DiffusionUNet(nn.Module):
         BlockCls = nn.remat(Block, static_argnums=(3,)) if self.remat else Block
 
         # Encoder (models.py:188-198)
-        x1 = BlockCls(dims[0], ted, name="enc1", dtype=self.dtype)(x, temb, train)
+        x1 = BlockCls(dims[0], ted, name="enc1", dtype=self.dtype, norm=self.norm)(x, temb, train)
         x1 = drop(x1)
-        x2 = BlockCls(dims[1], ted, name="enc2", dtype=self.dtype)(pool(x1), temb, train)
+        x2 = BlockCls(dims[1], ted, name="enc2", dtype=self.dtype, norm=self.norm)(pool(x1), temb, train)
         x2 = drop(x2)
-        x3 = BlockCls(dims[2], ted, name="enc3", dtype=self.dtype)(pool(x2), temb, train)
+        x3 = BlockCls(dims[2], ted, name="enc3", dtype=self.dtype, norm=self.norm)(pool(x2), temb, train)
         x3 = drop(x3)
-        x4 = BlockCls(dims[3], ted, name="enc4", dtype=self.dtype)(pool(x3), temb, train)
+        x4 = BlockCls(dims[3], ted, name="enc4", dtype=self.dtype, norm=self.norm)(pool(x3), temb, train)
         x4 = drop(x4)
 
         # Bottleneck (models.py:201)
-        h = BlockCls(dims[3], ted, name="bottleneck", dtype=self.dtype)(
+        h = BlockCls(dims[3], ted, name="bottleneck", dtype=self.dtype, norm=self.norm)(
             pool(x4), temb, train
         )
         h = drop(h)
@@ -284,17 +310,17 @@ class DiffusionUNet(nn.Module):
         # unused, matching the reference quirk (models.py:188-221).
         h = upsample_bilinear_x2(h)
         h = jnp.concatenate([h, x4], axis=-1)
-        h = BlockCls(dims[2], ted, name="dec3", dtype=self.dtype)(h, temb, train)
+        h = BlockCls(dims[2], ted, name="dec3", dtype=self.dtype, norm=self.norm)(h, temb, train)
         h = drop(h)
 
         h = upsample_bilinear_x2(h)
         h = jnp.concatenate([h, x3], axis=-1)
-        h = BlockCls(dims[1], ted, name="dec2", dtype=self.dtype)(h, temb, train)
+        h = BlockCls(dims[1], ted, name="dec2", dtype=self.dtype, norm=self.norm)(h, temb, train)
         h = drop(h)
 
         h = upsample_bilinear_x2(h)
         h = jnp.concatenate([h, x2], axis=-1)
-        h = BlockCls(dims[0], ted, name="dec1", dtype=self.dtype)(h, temb, train)
+        h = BlockCls(dims[0], ted, name="dec1", dtype=self.dtype, norm=self.norm)(h, temb, train)
         h = drop(h)
 
         h = upsample_bilinear_x2(h)
@@ -311,6 +337,7 @@ def make_unet(config, size_factor: float = 1.0) -> DiffusionUNet:
         dropout=config.dropout,
         dtype=dtype,
         remat=bool(getattr(config, "remat", False)),
+        norm=getattr(config, "norm", "batch"),
     )
 
 

@@ -138,3 +138,33 @@ def test_remat_model_matches_and_trains(test_config):
     step = make_teacher_train_step(remat, tx, dp, test_config.timesteps)
     state, loss = step(state, x, jax.random.PRNGKey(2))
     assert np.isfinite(float(loss))
+
+
+def test_groupnorm_variant(test_config):
+    """norm='group' model: no batch_stats collection, stable forward, and a
+    working train step."""
+    import jax
+    import jax.numpy as jnp
+
+    from distillation_trajectories_tpu.diffusion import get_diffusion_params
+    from distillation_trajectories_tpu.models.unet import DiffusionUNet
+    from distillation_trajectories_tpu.training import (
+        create_train_state,
+        make_optimizer,
+        make_teacher_train_step,
+    )
+
+    model = DiffusionUNet(channels=1, size_factor=0.1, norm="group")
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 1))
+    t = jnp.array([1.0, 3.0])
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x, t)
+    assert "batch_stats" not in variables
+    out = model.apply(variables, x, t)
+    assert out.shape == x.shape
+
+    tx = make_optimizer(test_config)
+    state = create_train_state(model, variables, tx)
+    dp = get_diffusion_params(test_config.timesteps, test_config)
+    step = make_teacher_train_step(model, tx, dp, test_config.timesteps)
+    state, loss = step(state, x, jax.random.PRNGKey(2))
+    assert np.isfinite(float(loss))
