@@ -12,6 +12,22 @@ The re-exports below mirror the reference's canonical public API
 
 __version__ = "0.1.0"
 
+import os as _os
+
+import jax as _jax
+
+# Persistent XLA compilation cache: the full U-Net train-step compile takes
+# minutes on the TPU; caching makes every subsequent CLI invocation start in
+# seconds.  Override location with DTT_COMPILE_CACHE; disable with
+# DTT_COMPILE_CACHE=0.
+_cache_dir = _os.environ.get("DTT_COMPILE_CACHE", "/tmp/dtt_xla_cache")
+if _cache_dir and _cache_dir != "0":
+    try:
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # older jax without the flags
+        pass
+
 from .config import Config
 from .models import DiffusionUNet, SimpleUNet, StudentUNet, make_unet
 from .diffusion import (

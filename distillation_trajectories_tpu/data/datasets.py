@@ -228,9 +228,14 @@ class DataLoader:
         sentinel = object()
 
         def producer():
-            for batch in self._epoch_batches():
-                q.put(batch)
-            q.put(sentinel)
+            # Any producer exception must reach the consumer — otherwise the
+            # main thread would block forever on q.get().
+            try:
+                for batch in self._epoch_batches():
+                    q.put(batch)
+                q.put(sentinel)
+            except BaseException as e:  # noqa: BLE001
+                q.put(e)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
@@ -238,6 +243,9 @@ class DataLoader:
             item = q.get()
             if item is sentinel:
                 break
+            if isinstance(item, BaseException):
+                thread.join()
+                raise item
             yield item
         thread.join()
 
