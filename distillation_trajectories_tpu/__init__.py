@@ -16,11 +16,13 @@ import os as _os
 
 import jax as _jax
 
-# Persistent XLA compilation cache: the full U-Net train-step compile takes
-# minutes on the TPU; caching makes every subsequent CLI invocation start in
-# seconds.  Override location with DTT_COMPILE_CACHE; disable with
-# DTT_COMPILE_CACHE=0.
-_cache_dir = _os.environ.get("DTT_COMPILE_CACHE", "/tmp/dtt_xla_cache")
+# Persistent XLA compilation cache (opt-in via DTT_COMPILE_CACHE=<dir>):
+# the full U-Net train-step compile takes minutes on the TPU, and caching
+# makes subsequent CLI invocations start in seconds — but serializing the
+# large scan executables HANGS the axon TPU plugin in this image (measured:
+# identical program compiles in ~40 s with the cache off and never finishes
+# with it on), so the cache is NOT enabled by default.
+_cache_dir = _os.environ.get("DTT_COMPILE_CACHE", "")
 if _cache_dir and _cache_dir != "0":
     try:
         _jax.config.update("jax_compilation_cache_dir", _cache_dir)
