@@ -165,3 +165,46 @@ def test_cfg_trajectory_uses_guidance(test_config):
     )
     assert t_plain.shape == t_cfg.shape == (T + 1, 1, 16, 16, 1)
     assert not np.allclose(np.asarray(t_plain[1:]), np.asarray(t_cfg[1:]))
+
+
+def test_p_sample_matches_reference_formula():
+    """Direct check of the ddpm-formulation update against
+    utils/diffusion.py:149-158 computed by hand with a constant model."""
+    from distillation_trajectories_tpu.diffusion import p_sample
+
+    dp = get_diffusion_params(10)
+    const = 0.3
+
+    def model_fn(x, t, cond, cond_mask):
+        # cond pass returns const, uncond returns const/2 (distinguished by
+        # the cond value routed through cond arg)
+        scale = jnp.where(jnp.sum(cond) > 0, 1.0, 0.5)
+        return jnp.full_like(x, const) * scale
+
+    x = jnp.ones((1, 4, 4, 1)) * 2.0
+    t = jnp.array([5])
+    g = 3.0
+    out = p_sample(model_fn, x, t, jnp.asarray(5), dp, jax.random.PRNGKey(0),
+                   guidance_scale=g)
+    betas_t = float(dp["betas"][5])
+    sqrt_omac = float(dp["sqrt_one_minus_alphas_cumprod"][5])
+    sqrt_recip = float(dp["sqrt_recip_alphas"][5])
+    cond_out, uncond_out = const, const * 0.5
+    model_out = uncond_out + g * (cond_out - uncond_out)
+    pred_dir = (1.0 - sqrt_omac) * model_out
+    noise = np.asarray(jax.random.normal(jax.random.PRNGKey(0), x.shape))
+    expected = sqrt_recip * (2.0 - pred_dir) + noise * betas_t
+    np.testing.assert_allclose(np.asarray(out), expected, rtol=1e-5)
+
+
+def test_p_sample_no_noise_at_t0():
+    from distillation_trajectories_tpu.diffusion import p_sample
+
+    dp = get_diffusion_params(10)
+    x = jnp.ones((1, 4, 4, 1))
+    out1 = p_sample(_zero_model, x, jnp.array([0]), jnp.asarray(0), dp,
+                    jax.random.PRNGKey(0))
+    out2 = p_sample(_zero_model, x, jnp.array([0]), jnp.asarray(0), dp,
+                    jax.random.PRNGKey(99))
+    # t_index == 0 → deterministic (no noise added)
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
