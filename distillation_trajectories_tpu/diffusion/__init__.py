@@ -13,3 +13,4 @@ from .sampling import (
     generate_trajectory_scan,
     subsampled_timestep_indices,
 )
+from .parallel_sampling import parallel_generate_trajectory
