@@ -15,3 +15,4 @@ from .mesh import (
     shard_train_state,
     shard_batch,
 )
+from .distributed import initialize_distributed, make_global_mesh

@@ -153,6 +153,15 @@ class TrajectoryManager:
 
         file_paths = []
         for i in range(num_samples):
+            # Skip-and-continue on per-sample numerical failure, matching the
+            # reference's per-trajectory try/except semantics
+            # (trajectory_manager.py:226-230; SURVEY.md §5 failure detection).
+            if not (np.isfinite(t_trajs[i]).all() and np.isfinite(s_trajs[i]).all()):
+                print(
+                    f"Warning: non-finite trajectory for sample {start + i}; "
+                    "skipping"
+                )
+                continue
             path = self._file_path(start + i)
             np.savez_compressed(
                 path,
