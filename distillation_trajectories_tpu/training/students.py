@@ -20,7 +20,9 @@ import numpy as np
 from ..data import get_data_loader
 from ..diffusion import get_diffusion_params, p_sample_loop
 from ..models import make_unet, init_unet, param_count, param_size_mb
+from ..utils.profiling import MetricsLogger, phase_timer
 from ..utils.viz import save_image_grid
+from .teacher import _progress
 from .checkpoints import (
     latest_epoch,
     load_checkpoint,
@@ -100,25 +102,39 @@ def distill_diffusion_model(
     )
 
     loader = get_data_loader(config, seed=seed)
+    metrics_log = MetricsLogger(
+        os.path.join(config.results_dir, f"distill_metrics_size_{size_factor}.jsonl")
+    )
 
     for epoch in range(config.epochs):
         t0 = time.time()
         total_loss, n_batches = 0.0, 0
-        for batch_idx, (images, _) in enumerate(loader):
-            key, step_key = jax.random.split(key)
-            state, loss = train_step(state, jnp.asarray(images), step_key)
-            total_loss += float(loss)
-            n_batches += 1
-            if log_every and (batch_idx + 1) % log_every == 0:
-                print(
-                    f"[distill sf={size_factor}] epoch {epoch + 1} "
-                    f"batch {batch_idx + 1}/{len(loader)} "
-                    f"loss {total_loss / n_batches:.6f}"
-                )
+        progress = _progress(
+            loader, f"Distillation Epoch {epoch + 1}/{config.epochs}", config
+        )
+        with phase_timer(f"distill_epoch_sf{size_factor}"):
+            for batch_idx, (images, _) in enumerate(progress):
+                key, step_key = jax.random.split(key)
+                state, loss = train_step(state, jnp.asarray(images), step_key)
+                total_loss += float(loss)
+                n_batches += 1
+                if hasattr(progress, "set_postfix"):
+                    progress.set_postfix(loss=total_loss / n_batches)
+                elif log_every and (batch_idx + 1) % log_every == 0:
+                    print(
+                        f"[distill sf={size_factor}] epoch {epoch + 1} "
+                        f"batch {batch_idx + 1}/{len(loader)} "
+                        f"loss {total_loss / n_batches:.6f}"
+                    )
+        avg_loss = total_loss / max(n_batches, 1)
         print(
             f"[distill sf={size_factor}] epoch {epoch + 1}/{config.epochs} "
-            f"avg loss {total_loss / max(n_batches, 1):.6f} "
+            f"avg loss {avg_loss:.6f} "
             f"({time.time() - t0:.1f}s)"
+        )
+        metrics_log.log(
+            "epoch", epoch=epoch + 1, size_factor=size_factor,
+            avg_loss=avg_loss, seconds=time.time() - t0,
         )
 
         if (epoch + 1) % config.save_interval == 0 or epoch == config.epochs - 1:
@@ -160,6 +176,7 @@ def distill_diffusion_model(
                     figsize=config.samples_figure_size,
                 )
 
+    metrics_log.close()
     return student_model, {"params": state.params, "batch_stats": state.batch_stats}
 
 
