@@ -8,6 +8,7 @@ from .schedules import (
 from .process import q_sample, p_losses
 from .sampling import (
     p_sample,
+    p_sample_ancestral,
     p_sample_loop,
     engine_update,
     generate_trajectory_scan,

@@ -70,6 +70,44 @@ def p_sample(
     return sqrt_recip_alphas_t * (x - pred_direction) + noise * betas_t
 
 
+def p_sample_ancestral(
+    model_fn: ModelFn,
+    x: jnp.ndarray,
+    t: jnp.ndarray,
+    t_index: jnp.ndarray,
+    diffusion_params: Dict[str, jnp.ndarray],
+    key: jax.Array,
+    guidance_scale: float = 1.0,
+) -> jnp.ndarray:
+    """Textbook DDPM ancestral step (Ho et al. 2020, Eq. 11):
+
+        x_{t-1} = 1/√α_t · (x_t − β_t/√(1−ᾱ_t) · ε̂) + √β̃_t · z
+
+    The reference's own ``p_sample`` uses a non-standard update
+    (utils/diffusion.py:149-158, SURVEY.md §2.3) that does not denoise
+    correctly; ``p_sample`` reproduces it for parity, while this mode
+    (``Config.sampler="ddpm"``) is the framework's mathematically correct
+    sampler.  CFG is the same 2-pass cond/uncond combination.
+    """
+    b = x.shape[0]
+    betas_t = extract(diffusion_params["betas"], t, x.shape)
+    sqrt_omac_t = extract(
+        diffusion_params["sqrt_one_minus_alphas_cumprod"], t, x.shape
+    )
+    sqrt_recip_alphas_t = extract(diffusion_params["sqrt_recip_alphas"], t, x.shape)
+    posterior_var_t = extract(diffusion_params["posterior_variance"], t, x.shape)
+
+    ones = jnp.ones((b, 1), dtype=x.dtype)
+    cond_out = model_fn(x, t, ones, ones)
+    uncond_out = model_fn(x, t, jnp.zeros((b, 1), x.dtype), jnp.zeros((b, 1), x.dtype))
+    eps = uncond_out + guidance_scale * (cond_out - uncond_out)
+
+    mean = sqrt_recip_alphas_t * (x - betas_t / sqrt_omac_t * eps)
+    noise = jax.random.normal(key, x.shape, dtype=x.dtype)
+    noise = jnp.where(t_index > 0, noise, 0.0)
+    return mean + jnp.sqrt(posterior_var_t) * noise
+
+
 def p_sample_loop(
     model_fn: ModelFn,
     shape: Tuple[int, ...],
@@ -79,15 +117,19 @@ def p_sample_loop(
     num_timesteps: Optional[int] = None,
     track_trajectory: bool = False,
     guidance_scale: float = 1.0,
+    mode: str = "reference",
 ):
     """Full reverse loop as one ``lax.scan`` (reference diffusion.py:160-212).
 
+    ``mode="reference"`` uses the reference's p_sample formulation (parity);
+    ``mode="ancestral"`` uses the correct DDPM ancestral update.
     Returns ``img`` or ``(img, trajectory)`` with trajectory
     ``[n_steps+1, B, H, W, C]`` on device.
     """
     if num_timesteps is None:
         num_timesteps = sample_steps
     indices = jnp.asarray(subsampled_timestep_indices(sample_steps, num_timesteps))
+    step_fn = p_sample_ancestral if mode == "ancestral" else p_sample
 
     key, init_key = jax.random.split(key)
     img = jax.random.normal(init_key, shape, dtype=jnp.float32)
@@ -97,7 +139,7 @@ def p_sample_loop(
         k, sk = jax.random.split(k)
         b = x.shape[0]
         t = jnp.full((b,), t_index, dtype=jnp.int32)
-        x = p_sample(
+        x = step_fn(
             model_fn, x, t, t_index, diffusion_params, sk, guidance_scale
         )
         return (x, k), (x if track_trajectory else None)

@@ -208,3 +208,37 @@ def test_p_sample_no_noise_at_t0():
                     jax.random.PRNGKey(99))
     # t_index == 0 → deterministic (no noise added)
     np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+
+
+def test_ancestral_sampler_denoises_linear_model():
+    """With the oracle ε-predictor for data x0=0 (ε̂ = x_t/√(1−ᾱ_t)), the
+    correct ancestral sampler must contract toward 0; the reference
+    formulation does not (documented divergence, SURVEY.md §2.3)."""
+    from distillation_trajectories_tpu.diffusion import p_sample_loop
+
+    T = 50
+    dp = get_diffusion_params(T)
+
+    def oracle(x, t, cond, cond_mask):
+        somac = extract(dp["sqrt_one_minus_alphas_cumprod"], t.astype(jnp.int32),
+                        x.shape)
+        return x / somac
+
+    img = p_sample_loop(
+        oracle, (8, 8, 8, 1), T, dp, jax.random.PRNGKey(0), mode="ancestral"
+    )
+    # x0=0 data: final states should be much closer to 0 than N(0,1)
+    assert float(jnp.mean(img**2)) < 0.05
+
+
+def test_ancestral_mode_differs_from_reference_mode():
+    from distillation_trajectories_tpu.diffusion import p_sample_loop
+
+    T = 10
+    dp = get_diffusion_params(T)
+    a = p_sample_loop(_zero_model, (1, 8, 8, 1), T, dp, jax.random.PRNGKey(0))
+    b = p_sample_loop(
+        _zero_model, (1, 8, 8, 1), T, dp, jax.random.PRNGKey(0),
+        mode="ancestral",
+    )
+    assert not np.allclose(np.asarray(a), np.asarray(b))
