@@ -118,6 +118,9 @@ class Config:
     # Normalization layer: "batch" (reference parity) or "group"
     # (batch-independent — safe under vmap/scan, no mutable state).
     norm: str = "batch"
+    # Full-resolution decoder head using the enc1 skip (removes the
+    # reference architecture's low-frequency output cap; see PARITY.md).
+    full_res_head: bool = False
     # Root directory override (tests point this at a tmpdir).
     base_dir: Optional[str] = None
 

@@ -234,6 +234,13 @@ class DiffusionUNet(nn.Module):
     remat: bool = False
     # "batch" (reference parity) or "group" (batch-independent, TPU-friendly).
     norm: str = "batch"
+    # Use the enc1 skip with a full-resolution decoder block instead of the
+    # reference's final bare upsample (models.py:188-221 computes x1 but
+    # never concatenates it).  That bare upsample means the output lives in
+    # the half-resolution subspace — iid ε has only ~1/4 of its energy
+    # there, capping ε-MSE near 0.75 (measured; see PARITY.md).  Off by
+    # default for architecture parity.
+    full_res_head: bool = False
 
     @property
     def time_emb_dim(self) -> int:
@@ -324,6 +331,13 @@ class DiffusionUNet(nn.Module):
         h = drop(h)
 
         h = upsample_bilinear_x2(h)
+        if self.full_res_head:
+            # dec0: full-resolution block consuming the otherwise-unused
+            # enc1 skip, removing the reference's low-frequency output cap.
+            h = jnp.concatenate([h, x1], axis=-1)
+            h = BlockCls(dims[0], ted, name="dec0", dtype=self.dtype,
+                         norm=self.norm)(h, temb, train)
+            h = drop(h)
         out = _conv(self.channels, dims[0], 1, "final", self.dtype)(h)
         return out.astype(jnp.float32)
 
@@ -338,6 +352,7 @@ def make_unet(config, size_factor: float = 1.0) -> DiffusionUNet:
         dtype=dtype,
         remat=bool(getattr(config, "remat", False)),
         norm=getattr(config, "norm", "batch"),
+        full_res_head=bool(getattr(config, "full_res_head", False)),
     )
 
 

@@ -168,3 +168,21 @@ def test_groupnorm_variant(test_config):
     step = make_teacher_train_step(model, tx, dp, test_config.timesteps)
     state, loss = step(state, x, jax.random.PRNGKey(2))
     assert np.isfinite(float(loss))
+
+
+def test_full_res_head_variant(test_config):
+    """full_res_head=True consumes the enc1 skip at full resolution and
+    changes the output; params include the dec0 block."""
+    import jax
+    import jax.numpy as jnp
+
+    from distillation_trajectories_tpu.models.unet import DiffusionUNet
+
+    base = DiffusionUNet(channels=1, size_factor=0.1)
+    fixed = DiffusionUNet(channels=1, size_factor=0.1, full_res_head=True)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 1))
+    t = jnp.array([1.0, 3.0])
+    v_fixed = fixed.init({"params": jax.random.PRNGKey(0)}, x, t)
+    assert "dec0" in v_fixed["params"]
+    out = fixed.apply(v_fixed, x, t)
+    assert out.shape == x.shape
