@@ -107,6 +107,10 @@ class Config:
     # the BASELINE.json north star), "ddpm" (utils/diffusion.py:149-158
     # formulation), or "ddim" (deterministic, sigma=0).
     sampler: str = "engine"
+    # p_sample_loop step mode: "reference" (the reference's non-standard
+    # update, parity default) or "ancestral" (correct DDPM; see
+    # diffusion/sampling.py::p_sample_ancestral).
+    sample_mode: str = "reference"
     # Device mesh (data, model) axis sizes; (1, 1) = single chip.
     mesh_shape: Tuple[int, int] = (1, 1)
     # Use EMA params for sampling/eval when available (ref declares ema_rate
