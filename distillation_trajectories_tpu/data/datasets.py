@@ -87,7 +87,7 @@ def _synthetic_dataset(
         base = blob + grad + 0.05 * rng.standard_normal((size, size))
         for c in range(channels):
             images[i, :, :, c] = base * (0.7 + 0.3 * np.cos(k + c))
-    images = np.clip((images - images.min()) / (images.ptp() + 1e-8), 0, 1)
+    images = np.clip((images - images.min()) / (np.ptp(images) + 1e-8), 0, 1)
     return (images * 255).astype(np.uint8), labels
 
 

@@ -56,3 +56,27 @@ def test_dataloader_prefetch_epochs(test_config):
     all1 = np.sort(np.concatenate(e1).reshape(40, -1), axis=0)
     all2 = np.sort(np.concatenate(e2).reshape(40, -1), axis=0)
     np.testing.assert_allclose(all1, all2)
+
+
+def test_synthetic_dataset_fallback():
+    """CIFAR blobs are absent in this environment: the synthetic stand-in
+    must produce valid, deterministic data (regression: numpy 2.0 removed
+    ndarray.ptp)."""
+    from distillation_trajectories_tpu.data.datasets import _synthetic_dataset
+
+    imgs, labels = _synthetic_dataset(20, 32, 3, seed=0)
+    assert imgs.shape == (20, 32, 32, 3) and imgs.dtype == np.uint8
+    assert labels.shape == (20,)
+    imgs2, labels2 = _synthetic_dataset(20, 32, 3, seed=0)
+    np.testing.assert_array_equal(imgs, imgs2)
+
+
+def test_cifar_config_loads_synthetic(test_config):
+    from distillation_trajectories_tpu import Config
+    from distillation_trajectories_tpu.data import load_dataset
+
+    cfg = Config(dataset="CIFAR10", image_size=32, channels=3,
+                 base_dir=test_config.base_dir)
+    images, labels = load_dataset(cfg, train=False)
+    assert images.shape[1:] == (32, 32, 3)
+    assert images.min() >= -1.0 and images.max() <= 1.0
