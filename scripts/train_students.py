@@ -28,12 +28,30 @@ def main():
     parser.add_argument("--teacher_epoch", type=int, default=None,
                         help="Teacher checkpoint epoch (latest when omitted)")
     parser.add_argument("--seed", type=int, default=0)
+    # TPU-native extensions (defaults preserve reference behavior)
+    parser.add_argument("--noise_schedule", type=str, default=None,
+                        choices=["linear", "cosine"])
+    parser.add_argument("--dropout", type=float, default=None)
+    parser.add_argument("--full_res_head", action="store_true",
+                        help="Use the enc1-skip full-resolution decoder head")
+    parser.add_argument("--sample_mode", type=str, default=None,
+                        choices=["reference", "ancestral"])
+    parser.add_argument("--base_dir", type=str, default=None,
+                        help="Override the output root directory")
     args = parser.parse_args()
 
     from distillation_trajectories_tpu import Config
     from distillation_trajectories_tpu.training import train_students
 
-    config = Config()
+    config = Config(base_dir=args.base_dir) if args.base_dir else Config()
+    if args.noise_schedule is not None:
+        config.noise_schedule = args.noise_schedule
+    if args.dropout is not None:
+        config.dropout = args.dropout
+    if args.full_res_head:
+        config.full_res_head = True
+    if args.sample_mode is not None:
+        config.sample_mode = args.sample_mode
     if args.epochs is not None:
         config.epochs = args.epochs
     if args.dataset is not None:
