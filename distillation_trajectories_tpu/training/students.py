@@ -165,6 +165,7 @@ def distill_diffusion_model(
                     student_params_d,
                     sample_key,
                     num_timesteps=config.timesteps,
+                    mode=getattr(config, "sample_mode", "reference"),
                 )
                 save_image_grid(
                     np.asarray(samples),
