@@ -37,7 +37,9 @@ def create_train_state(
         params=params,
         batch_stats=variables.get("batch_stats", {}),
         opt_state=tx.init(params),
-        ema_params=params if use_ema else None,
+        # EMA starts as a COPY: aliasing the same buffers would make the
+        # donated train step fail with "donate the same buffer twice".
+        ema_params=jax.tree_util.tree_map(jnp.copy, params) if use_ema else None,
     )
 
 

@@ -108,3 +108,26 @@ def test_data_loader(test_config):
     assert images.min() >= -1.0 and images.max() <= 1.0
     real = get_real_images(test_config, 5)
     assert real.shape == (5, 16, 16, 1)
+
+
+def test_teacher_ema_updates(test_config):
+    import jax
+    import jax.numpy as jnp
+
+    from distillation_trajectories_tpu.diffusion import get_diffusion_params
+
+    model = make_unet(test_config, size_factor=0.1)
+    variables = init_unet(model, test_config, jax.random.PRNGKey(0))
+    tx = make_optimizer(test_config)
+    state = create_train_state(model, variables, tx, use_ema=True)
+    dp = get_diffusion_params(test_config.timesteps, test_config)
+    step = make_teacher_train_step(
+        model, tx, dp, test_config.timesteps, ema_rate=0.9
+    )
+    images = jnp.zeros((4, 16, 16, 1))
+    p0 = np.asarray(jax.tree_util.tree_leaves(state.params)[0])
+    state, _ = step(state, images, jax.random.PRNGKey(1))
+    ema = np.asarray(jax.tree_util.tree_leaves(state.ema_params)[0])
+    new = np.asarray(jax.tree_util.tree_leaves(state.params)[0])
+    # ema = 0.9*old + 0.1*new
+    np.testing.assert_allclose(ema, 0.9 * p0 + 0.1 * new, rtol=1e-5, atol=1e-7)
