@@ -104,3 +104,18 @@ def test_sharded_trajectory_generation(test_config):
     np.testing.assert_allclose(
         np.asarray(traj), np.asarray(unsharded), rtol=2e-4, atol=1e-5
     )
+
+
+def test_initialize_distributed_noop_without_env(monkeypatch):
+    from distillation_trajectories_tpu.parallel import initialize_distributed
+
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    assert initialize_distributed() is False
+
+
+def test_make_global_mesh():
+    from distillation_trajectories_tpu.parallel import make_global_mesh
+
+    mesh = make_global_mesh(model_parallel=2)
+    assert mesh.shape["model"] == 2
+    assert mesh.shape["data"] * 2 == len(jax.devices())
