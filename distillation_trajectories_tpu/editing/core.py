@@ -25,6 +25,8 @@ def denoise_with_trajectory(
     start_t: int,
     key: jax.Array,
     post_step: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
+    diffusion_params=None,
+    mode: str = "engine",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Reverse process from state ``x0`` at timestep ``start_t`` down to 0.
 
@@ -32,8 +34,19 @@ def denoise_with_trajectory(
     scan body after every update.  Returns ``(final_state, trajectory)`` with
     trajectory ``[start_t+1, B, H, W, C]`` (states *before* each step plus
     final, matching the reference loops' record-then-update ordering).
+
+    ``mode="engine"`` (default) is the reference-parity DDIM-like update;
+    ``mode="ancestral"`` is the correct DDPM step (requires
+    ``diffusion_params``) — use with ``noise_schedule="cosine"`` models for
+    edits that actually denoise.
     """
     b = x0.shape[0]
+    if mode == "ancestral":
+        assert diffusion_params is not None, "ancestral mode needs diffusion_params"
+        betas = diffusion_params["betas"]
+        somac = diffusion_params["sqrt_one_minus_alphas_cumprod"]
+        sra = diffusion_params["sqrt_recip_alphas"]
+        pvar = diffusion_params["posterior_variance"]
 
     def step(x, t):
         recorded = x
@@ -43,7 +56,11 @@ def denoise_with_trajectory(
         )
         step_key = jax.random.fold_in(key, t)
         noise = jax.random.normal(step_key, x.shape, dtype=x.dtype)
-        x_new = engine_update(x, noise_pred, noise, alphas[t], alphas[t - 1])
+        if mode == "ancestral":
+            mean = sra[t] * (x - betas[t] / somac[t] * noise_pred)
+            x_new = mean + jnp.sqrt(pvar[t]) * noise
+        else:
+            x_new = engine_update(x, noise_pred, noise, alphas[t], alphas[t - 1])
         if post_step is not None:
             x_new = post_step(x_new)
         # t=0 iteration records the state but performs no update (ref loops)

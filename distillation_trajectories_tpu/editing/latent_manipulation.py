@@ -25,7 +25,7 @@ from .core import denoise_with_trajectory, to_image
 
 
 def generate_image_with_latents(
-    model, config, variables=None, seed: int = 0
+    model, config, variables=None, seed: int = 0, mode: str = "engine"
 ):
     """Generate one image, returning (image[0,1], final_latent, trajectory)
     (reference latent_manipulation.py:96-149)."""
@@ -37,7 +37,8 @@ def generate_image_with_latents(
         nk, (1, config.image_size, config.image_size, config.channels)
     )
     x_final, trajectory = denoise_with_trajectory(
-        model_fn, x, dp["alphas"], config.timesteps - 1, key
+        model_fn, x, dp["alphas"], config.timesteps - 1, key,
+        diffusion_params=dp, mode=mode
     )
     return np.asarray(to_image(x_final)), np.asarray(x_final), np.asarray(trajectory)
 
@@ -51,6 +52,7 @@ def apply_latent_manipulation(
     variables=None,
     record_trajectory: bool = True,
     seed: int = 0,
+    mode: str = "engine",
 ) -> Dict:
     """Manipulate a latent by ``strength·direction`` and re-denoise from T/2
     (reference latent_manipulation.py:151-215)."""
@@ -60,7 +62,7 @@ def apply_latent_manipulation(
 
     if latent is None:
         _, latent, _ = generate_image_with_latents(
-            model, config, variables=variables, seed=seed
+            model, config, variables=variables, seed=seed, mode=mode
         )
     latent = jnp.asarray(latent, dtype=jnp.float32)
     if latent.ndim == 3:
@@ -72,7 +74,8 @@ def apply_latent_manipulation(
 
     manipulated = latent + strength * direction
     x_final, trajectory = denoise_with_trajectory(
-        model_fn, manipulated, dp["alphas"], config.timesteps // 2, key
+        model_fn, manipulated, dp["alphas"], config.timesteps // 2, key,
+        diffusion_params=dp, mode=mode
     )
 
     result = {
@@ -88,7 +91,7 @@ def apply_latent_manipulation(
 
 
 def find_semantic_directions(
-    model, config, variables=None, num_samples: int = 100
+    model, config, variables=None, num_samples: int = 100, mode: str = "engine"
 ) -> Dict[str, np.ndarray]:
     """PCA(10) over final latents of ``num_samples`` generated images
     (reference latent_manipulation.py:217-258) — one vmapped batch."""
@@ -102,7 +105,8 @@ def find_semantic_directions(
             nk, (1, config.image_size, config.image_size, config.channels)
         )
         x_final, _ = denoise_with_trajectory(
-            model_fn, x, dp["alphas"], config.timesteps - 1, key
+            model_fn, x, dp["alphas"], config.timesteps - 1, key,
+            diffusion_params=dp, mode=mode
         )
         return x_final[0]
 

@@ -48,6 +48,7 @@ def apply_masked_inpainting(
     variables=None,
     record_trajectory: bool = True,
     seed: int = 0,
+    mode: str = "engine",
 ) -> Dict:
     """Inpaint masked regions of ``original_image`` (in [0,1], NHWC or HWC).
 
@@ -78,7 +79,8 @@ def apply_masked_inpainting(
 
     reimpose = lambda z: mask * z + (1.0 - mask) * original_scaled
     x_final, trajectory = denoise_with_trajectory(
-        model_fn, x, dp["alphas"], config.timesteps - 1, key, post_step=reimpose
+        model_fn, x, dp["alphas"], config.timesteps - 1, key, post_step=reimpose,
+        diffusion_params=dp, mode=mode
     )
 
     result = {

@@ -20,7 +20,7 @@ from ..training.state import make_eval_model_fn
 from .core import denoise_with_trajectory, to_image
 
 
-def generate_image_with_trajectory(model, config, variables=None, seed: int = 0):
+def generate_image_with_trajectory(model, config, variables=None, seed: int = 0, mode: str = "engine"):
     """One unconditional generation with trajectory capture
     (reference prompt_editing.py:66-120)."""
     model_fn = make_eval_model_fn(model, variables)
@@ -31,7 +31,8 @@ def generate_image_with_trajectory(model, config, variables=None, seed: int = 0)
         nk, (1, config.image_size, config.image_size, config.channels)
     )
     x_final, trajectory = denoise_with_trajectory(
-        model_fn, x, dp["alphas"], config.timesteps - 1, key
+        model_fn, x, dp["alphas"], config.timesteps - 1, key,
+        diffusion_params=dp, mode=mode
     )
     return np.asarray(to_image(x_final)), np.asarray(trajectory)
 
@@ -44,6 +45,7 @@ def apply_prompt_editing(
     variables=None,
     record_trajectory: bool = True,
     seed: int = None,
+    mode: str = "engine",
 ) -> Dict:
     """Simulated prompt edit: same pipeline, seed vs seed+1
     (reference prompt_editing.py:11-64)."""
@@ -51,10 +53,10 @@ def apply_prompt_editing(
         seed = int(np.random.default_rng().integers(0, 10000))
 
     original_image, original_trajectory = generate_image_with_trajectory(
-        model, config, variables=variables, seed=seed
+        model, config, variables=variables, seed=seed, mode=mode
     )
     edited_image, edited_trajectory = generate_image_with_trajectory(
-        model, config, variables=variables, seed=seed + 1
+        model, config, variables=variables, seed=seed + 1, mode=mode
     )
 
     result = {

@@ -29,6 +29,11 @@ def main():
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--strength", type=float, default=2.0,
                         help="Latent manipulation strength")
+    parser.add_argument("--base_dir", type=str, default=None)
+    parser.add_argument("--full_res_head", action="store_true")
+    parser.add_argument("--noise_schedule", type=str, default=None)
+    parser.add_argument("--sample_mode", type=str, default="engine",
+                        choices=["engine", "ancestral"])
     args = parser.parse_args()
 
     from distillation_trajectories_tpu import Config
@@ -44,7 +49,11 @@ def main():
         visualize_prompt_editing,
     )
 
-    config = Config()
+    config = Config(base_dir=args.base_dir) if args.base_dir else Config()
+    if args.full_res_head:
+        config.full_res_head = True
+    if args.noise_schedule:
+        config.noise_schedule = args.noise_schedule
     config.timesteps = args.timesteps
     if args.dataset:
         config.dataset = args.dataset
@@ -64,24 +73,26 @@ def main():
     )
     result = apply_masked_inpainting(
         teacher_model, config, real01, mask=mask, variables=teacher_vars,
-        seed=args.seed,
+        seed=args.seed, mode=args.sample_mode,
     )
     visualize_inpainting(result, output_dir)
 
     print("\n[2/3] Latent manipulation (PCA semantic directions)...")
     directions = find_semantic_directions(
-        teacher_model, config, variables=teacher_vars, num_samples=32
+        teacher_model, config, variables=teacher_vars, num_samples=32,
+        mode=args.sample_mode,
     )
     result = apply_latent_manipulation(
         teacher_model, config, direction=directions["pca_0"],
         strength=args.strength, variables=teacher_vars, seed=args.seed,
+        mode=args.sample_mode,
     )
     visualize_latent_manipulation(result, output_dir)
 
     print("\n[3/3] Prompt editing (simulated)...")
     result = apply_prompt_editing(
         teacher_model, config, "a digit", "another digit",
-        variables=teacher_vars, seed=args.seed,
+        variables=teacher_vars, seed=args.seed, mode=args.sample_mode,
     )
     visualize_prompt_editing(result, output_dir)
 
