@@ -142,7 +142,19 @@ def main():
     # Keep stdout to the single JSON line (the reference model constructor
     # prints to stdout); route everything else to stderr.
     with contextlib.redirect_stdout(sys.stderr):
-        ours = bench_tpu()
+        # The tunneled TPU backend occasionally drops a request mid-compile;
+        # retry transient runtime errors before giving up.
+        ours = None
+        for attempt in range(3):
+            try:
+                ours = bench_tpu()
+                break
+            except Exception as e:
+                print(f"# bench attempt {attempt + 1} failed: {e}",
+                      file=sys.stderr)
+                time.sleep(10)
+        if ours is None:
+            raise RuntimeError("bench_tpu failed after 3 attempts")
         ref = bench_reference_cpu()
         try:
             pairs_per_s = bench_metric_suite()
