@@ -227,3 +227,49 @@ def test_metric_visualization_contract(small_model, tmp_path):
         "Teacher Path Length:",
     ):
         assert field in summary, field
+
+
+def test_batch_metric_summary_golden(small_model, tmp_path):
+    """visualize_batch_metrics writes the reference's summary field names in
+    order (trajectory_metrics.py:678-708 contract)."""
+    from distillation_trajectories_tpu.metrics import visualize_batch_metrics
+
+    cfg, _, _ = small_model
+    batch = {
+        "wasserstein_distances": [0.1, 0.2],
+        "endpoint_distances": [1.0, 2.0],
+        "teacher_path_lengths": [2.0, 2.2],
+        "student_path_lengths": [1.8, 2.0],
+        "teacher_efficiency": [0.2, 0.25],
+        "student_efficiency": [0.15, 0.2],
+        "path_length_similarity_avg": 0.6,
+        "efficiency_similarity_avg": 0.55,
+        "mean_velocity_similarity_avg": 0.8,
+        "mean_directional_consistency_avg": 0.7,
+        "mean_position_difference_avg": 3.0,
+        "distribution_similarity_avg": 0.5,
+        "wasserstein_distances_per_timestep": [[0.1] * 5, [0.2] * 5],
+    }
+    summary = visualize_batch_metrics(
+        batch, cfg, size_factor=0.5, output_dir=str(tmp_path)
+    )
+    text = (tmp_path / "summary_size_0.5.txt").read_text()
+    lines = [l.split(":")[0] for l in text.splitlines() if ":" in l]
+    assert lines == [
+        "Size Factor",
+        "Mean Endpoint Distance",
+        "Mean Path Length Ratio (Student/Teacher)",
+        "Mean Teacher Path Length",
+        "Mean Student Path Length",
+        "Mean Efficiency Ratio (Student/Teacher)",
+        "Mean Teacher Efficiency",
+        "Mean Student Efficiency",
+        "Mean Wasserstein Distance",
+        "Path Length Similarity",
+        "Efficiency Similarity",
+        "Mean Velocity Similarity",
+        "Mean Directional Consistency",
+        "Mean Position Difference",
+        "Distribution Similarity",
+    ]
+    assert summary["path_length_ratio"] == (1.9 / 2.1)
