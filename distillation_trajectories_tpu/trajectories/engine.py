@@ -23,6 +23,18 @@ from ..metrics.trajectory_metrics import _metrics_core, compute_trajectory_metri
 from ..training.state import make_eval_model_fn
 
 
+def _store_dtype(config):
+    """Trajectory storage dtype from ``Config.trajectory_store_dtype``."""
+    name = getattr(config, "trajectory_store_dtype", "float32") or "float32"
+    if name == "bfloat16":
+        return jnp.bfloat16
+    if name != "float32":
+        raise ValueError(
+            f"trajectory_store_dtype must be 'float32' or 'bfloat16', got {name!r}"
+        )
+    return None
+
+
 def generate_trajectory(
     model,
     variables,
@@ -48,6 +60,7 @@ def generate_trajectory(
         dp["alphas"],
         seed=0 if seed is None else seed,
         guidance_scale=guidance_scale,
+        store_dtype=_store_dtype(config),
     )
 
 
@@ -76,7 +89,9 @@ def make_paired_trajectory_fn(
 
     def one_sample(noise_hwc, seed, gs):
         noise = noise_hwc[None]  # model batch dim
-        kwargs = dict(guidance_scale=gs, use_cfg=use_cfg)
+        kwargs = dict(
+            guidance_scale=gs, use_cfg=use_cfg, store_dtype=_store_dtype(config)
+        )
         t_traj = generate_trajectory_scan(
             t_fn, noise, timesteps, alphas, seed, **kwargs
         )

@@ -65,10 +65,18 @@ class TrajectoryManager:
         T = self.config.teacher_steps
         alphas = dp["alphas"]
 
+        from .engine import _store_dtype
+
+        sd = _store_dtype(self.config)
+
         def one(noise_hwc, seed):
             noise = noise_hwc[None]
-            t_traj = generate_trajectory_scan(t_fn, noise, T, alphas, seed)
-            s_traj = generate_trajectory_scan(s_fn, noise, T, alphas, seed)
+            t_traj = generate_trajectory_scan(
+                t_fn, noise, T, alphas, seed, store_dtype=sd
+            )
+            s_traj = generate_trajectory_scan(
+                s_fn, noise, T, alphas, seed, store_dtype=sd
+            )
             return t_traj[:, 0], s_traj[:, 0]
 
         return jax.jit(jax.vmap(one))
@@ -146,7 +154,11 @@ class TrajectoryManager:
             )
         seeds = jnp.arange(start, end, dtype=jnp.int32)
         t_trajs, s_trajs = self._pair_fn()(noises, seeds)
-        t_trajs, s_trajs = np.asarray(t_trajs), np.asarray(s_trajs)
+        # The npz disk contract is always float32 (parity with the reference
+        # files and numpy-loadable without ml_dtypes); bf16 trajectory
+        # storage only reduces on-device HBM traffic during generation.
+        t_trajs = np.asarray(t_trajs, dtype=np.float32)
+        s_trajs = np.asarray(s_trajs, dtype=np.float32)
         # Timestep labels: descending T-1..0 plus the initial state's T
         T = cfg.teacher_steps
         tsteps = np.concatenate([[T], np.arange(T - 1, -1, -1)])

@@ -144,6 +144,39 @@ def test_trajectory_noise_deterministic_in_seed():
     assert not np.allclose(np.asarray(t1), np.asarray(t3))
 
 
+def test_store_dtype_bf16():
+    """bf16 trajectory storage: carry math stays f32 (identical final state
+    up to one bf16 round), stored states are bf16 and within bf16 eps of the
+    f32-stored trajectory; downstream metric scalars stay within 1e-2 rel."""
+    T = 10
+    dp = get_diffusion_params(T)
+    noise = jax.random.normal(jax.random.PRNGKey(4), (2, 8, 8, 1))
+    f32 = generate_trajectory_scan(_zero_model, noise, T, dp["alphas"], seed=3)
+    bf16 = generate_trajectory_scan(
+        _zero_model, noise, T, dp["alphas"], seed=3, store_dtype=jnp.bfloat16
+    )
+    assert bf16.dtype == jnp.bfloat16
+    assert bf16.shape == f32.shape
+    # bf16 has an 8-bit mantissa: single-round error ≤ 2^-8 relative.
+    np.testing.assert_allclose(
+        np.asarray(bf16, dtype=np.float32), np.asarray(f32), rtol=0, atol=4e-2
+    )
+    # Last two entries still identical (duplicated no-op t=0 state).
+    np.testing.assert_allclose(
+        np.asarray(bf16[-1], np.float32), np.asarray(bf16[-2], np.float32)
+    )
+
+    from distillation_trajectories_tpu.metrics.trajectory_metrics import (
+        compute_trajectory_metrics,
+    )
+
+    m32 = compute_trajectory_metrics(f32[:, 0], f32[:, 1])
+    m16 = compute_trajectory_metrics(bf16[:, 0], bf16[:, 1])
+    for k in ("point_by_point_similarity", "mean_wasserstein", "path_alignment"):
+        ref, got = m32[k], m16[k]
+        assert abs(got - ref) <= 1e-2 * max(abs(ref), 1.0), (k, ref, got)
+
+
 def test_cfg_trajectory_uses_guidance(test_config):
     """CFG path must differ from no-CFG path with a cond-sensitive model."""
     import jax
