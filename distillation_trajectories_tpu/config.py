@@ -111,14 +111,25 @@ class Config:
     # update, parity default) or "ancestral" (correct DDPM; see
     # diffusion/sampling.py::p_sample_ancestral).
     sample_mode: str = "reference"
-    # Device mesh (data, model) axis sizes; (1, 1) = single chip.
+    # Device mesh (data, model) axis sizes; (1, 1) = single chip.  When not
+    # (1, 1) the trainers shard the train state channel-TP over "model" and
+    # every batch over "data" (parallel/mesh.py), so one jitted step runs
+    # SPMD over the mesh with XLA-inserted collectives.  CLI: --mesh D,M.
     mesh_shape: Tuple[int, int] = (1, 1)
+    # Cap batches per training epoch (None = full epoch).  Smoke runs and the
+    # driver's multichip dryrun use this to exercise the real trainer code
+    # path in seconds.
+    limit_batches_per_epoch: Optional[int] = None
     # Storage dtype for stacked trajectories ("float32" or "bfloat16").
     # bf16 halves trajectory HBM traffic; sampling math itself stays in
     # float32 (only the stored per-step states are cast).  Metric scalars
     # then differ from float32 storage by <1e-2 relative — keep float32
     # for reference-parity runs (see diffusion/sampling.py docstring).
     trajectory_store_dtype: str = "float32"
+    # Route the sampler's CFG-combine + engine-update tail through the fused
+    # Pallas kernel (ops/cfg_update.py) instead of jnp ops.  Off by default;
+    # measured on-chip numbers in PERFORMANCE.md decide whether it stays.
+    pallas_cfg_update: bool = False
     # Use EMA params for sampling/eval when available (ref declares ema_rate
     # but never uses it; off by default for parity).
     use_ema: bool = False

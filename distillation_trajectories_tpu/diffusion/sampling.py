@@ -181,6 +181,7 @@ def generate_trajectory_scan(
     guidance_scale: Optional[float] = None,
     use_cfg: Optional[bool] = None,
     store_dtype: Optional[jnp.dtype] = None,
+    use_pallas: bool = False,
 ) -> jnp.ndarray:
     """Full trajectory via the engine formulation as one scan.
 
@@ -195,6 +196,10 @@ def generate_trajectory_scan(
     CFG (used when ``guidance_scale > 1.0``) evaluates cond=0 and cond=1
     passes *both through the conditioning MLP* (trajectory_engine.py:68-80),
     unlike ``p_sample``'s cond=None unconditional pass.
+
+    ``use_pallas`` routes the CFG-combine + c1/c2/σ update tail through the
+    fused Pallas kernel (ops/cfg_update.py) instead of jnp ops —
+    ``Config.pallas_cfg_update``; measured numbers in PERFORMANCE.md.
 
     ``store_dtype`` (e.g. ``jnp.bfloat16``) casts only the *stored* per-step
     states — the scan carry and all update math stay in the input dtype, so
@@ -217,6 +222,39 @@ def generate_trajectory_scan(
 
     def step(x, t):
         tvec = jnp.full((b,), t, dtype=jnp.float32)
+        step_key = jax.random.fold_in(base_key, t)
+        step_noise = jax.random.normal(step_key, x.shape, dtype=x.dtype)
+        alpha_t = alphas[t]
+        alpha_prev = alphas[t - 1]
+        if use_pallas:
+            from ..ops.cfg_update import cfg_engine_update
+
+            if use_cfg:
+                pred_uncond = model_fn(
+                    x, tvec, jnp.zeros((b, 1), x.dtype), jnp.ones((b, 1), x.dtype)
+                )
+                pred_cond = model_fn(
+                    x, tvec, jnp.ones((b, 1), x.dtype), jnp.ones((b, 1), x.dtype)
+                )
+            else:
+                pred_uncond = model_fn(
+                    x, tvec, jnp.zeros((b, 1), x.dtype), jnp.zeros((b, 1), x.dtype)
+                )
+                pred_cond = pred_uncond
+            # Same c1/c2/σ algebra as engine_update (kept in sync with it).
+            c1 = jnp.sqrt(alpha_prev) / jnp.sqrt(alpha_t)
+            c2 = jnp.sqrt(1.0 - alpha_prev) - jnp.sqrt(
+                alpha_prev / alpha_t
+            ) * jnp.sqrt(1.0 - alpha_t)
+            sigma_t = jnp.sqrt(1.0 - alpha_prev) * jnp.sqrt(
+                1.0 - alpha_t / alpha_prev
+            )
+            x = cfg_engine_update(
+                x, pred_uncond, pred_cond, step_noise, c1, c2, sigma_t,
+                gs if use_cfg else 1.0,
+            )
+            stored = x if store_dtype is None else x.astype(store_dtype)
+            return x, stored
         if use_cfg:
             # Fused CFG: cond-0 and cond-1 passes, both through the cond MLP
             # (trajectory_engine.py:68-80).  Two B-sized forwards measure
@@ -236,10 +274,6 @@ def generate_trajectory_scan(
             noise_pred = model_fn(
                 x, tvec, jnp.zeros((b, 1), x.dtype), jnp.zeros((b, 1), x.dtype)
             )
-        step_key = jax.random.fold_in(base_key, t)
-        step_noise = jax.random.normal(step_key, x.shape, dtype=x.dtype)
-        alpha_t = alphas[t]
-        alpha_prev = alphas[t - 1]
         x = engine_update(x, noise_pred, step_noise, alpha_t, alpha_prev)
         stored = x if store_dtype is None else x.astype(store_dtype)
         return x, stored

@@ -3,9 +3,11 @@
 Counterpart of reference ``evaluation/metrics.py:22-265`` (library-only in
 the reference — no in-repo callers — reproduced for API completeness):
 
-* ``compute_lpips`` — the lpips package is not available in this image; like
-  the reference's optional-import fallback (evaluation/metrics.py:14-49) a
-  placeholder 0.5 per pair is returned with a logged warning.
+* ``compute_lpips`` — real LPIPS when a backend exists: the ``lpips`` torch
+  package when importable (reference parity, evaluation/metrics.py:22-49),
+  else the Flax AlexNet-LPIPS (metrics/lpips.py) when ported weights are
+  present; only when neither backend is available does it return the
+  reference's own placeholder 0.5 per pair (evaluation/metrics.py:35-37).
 * ``compute_fid`` — the reference's second independent FID implementation;
   here it delegates to the single fid core (metrics/fid.py) — one
   implementation, not two inconsistent ones (SURVEY.md §2.3 stance).
@@ -24,20 +26,62 @@ import numpy as np
 from .fid import InceptionModel, calculate_fid
 
 
-def compute_lpips(images1, images2) -> List[float]:
-    """LPIPS per pair; placeholder 0.5 when the lpips package is absent
-    (reference evaluation/metrics.py:14-49)."""
-    try:
-        import lpips  # noqa: F401
+_LPIPS_CACHE: Dict[str, object] = {}
 
-        raise ImportError("lpips backend port not wired")  # pragma: no cover
+
+def compute_lpips(images1, images2, weights_path: Optional[str] = None) -> List[float]:
+    """LPIPS per image pair (inputs in [0, 1], reference convention).
+
+    Backend order: ``lpips`` torch package (reference parity) → Flax
+    AlexNet-LPIPS with ported weights (TPU path) → the reference's own
+    placeholder 0.5 per pair (evaluation/metrics.py:35-37).
+    """
+    n = min(len(images1), len(images2))
+    x = np.asarray(images1)[:n].astype(np.float32)
+    y = np.asarray(images2)[:n].astype(np.float32)
+    # [0,1] → [-1,1] (reference evaluation/metrics.py:41-43)
+    x = 2.0 * x - 1.0
+    y = 2.0 * y - 1.0
+
+    try:
+        import lpips
+        import torch
+
+        if "torch" not in _LPIPS_CACHE:
+            _LPIPS_CACHE["torch"] = lpips.LPIPS(net="alex")
+        loss_fn = _LPIPS_CACHE["torch"]
+
+        def to_nchw(a):
+            if a.ndim == 3:  # [N,H,W] grayscale
+                a = a[:, None]
+            elif a.shape[-1] in (1, 3):  # NHWC → NCHW
+                a = a.transpose(0, 3, 1, 2)
+            if a.shape[1] == 1:
+                a = np.repeat(a, 3, axis=1)
+            return torch.from_numpy(np.ascontiguousarray(a))
+
+        with torch.no_grad():
+            d = loss_fn(to_nchw(x), to_nchw(y))
+        return [float(v) for v in d.reshape(-1)]
     except ImportError:
-        print(
-            "Warning: lpips package not available; returning placeholder "
-            "0.5 per pair (matches reference fallback)"
-        )
-        n = min(len(images1), len(images2))
-        return [0.5] * n
+        pass
+
+    from .lpips import create_lpips
+
+    if "flax" not in _LPIPS_CACHE:
+        _LPIPS_CACHE["flax"] = create_lpips(weights_path)
+    scorer, pretrained = _LPIPS_CACHE["flax"]
+    if pretrained:
+        if x.ndim == 3:
+            x, y = x[..., None], y[..., None]
+        return [float(v) for v in scorer(x, y)]
+
+    print(
+        "Warning: no LPIPS backend (lpips package absent, no ported "
+        "weights); returning placeholder 0.5 per pair (matches reference "
+        "fallback)"
+    )
+    return [0.5] * n
 
 
 def compute_fid(

@@ -44,8 +44,8 @@ def cfg_engine_update_reference(x, uncond, cond, noise, c1, c2, sigma, g):
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def cfg_engine_update(x, uncond, cond, noise, c1, c2, sigma, g,
-                      interpret: bool = False):
+def _cfg_engine_update_impl(x, uncond, cond, noise, c1, c2, sigma, g,
+                            interpret: bool = False):
     """Fused Pallas kernel over arbitrarily shaped operands.
 
     Operands are flattened and padded to (rows, 128) VMEM tiles; the pad
@@ -80,3 +80,15 @@ def cfg_engine_update(x, uncond, cond, noise, c1, c2, sigma, g,
         interpret=interpret,
     )(scalars, prep(x), prep(uncond), prep(cond), prep(noise))
     return out.reshape(-1)[:total].reshape(shape)
+
+
+def cfg_engine_update(x, uncond, cond, noise, c1, c2, sigma, g,
+                      interpret=None):
+    """Fused CFG-combine + engine-update; ``interpret=None`` auto-selects
+    the Pallas interpreter off-TPU so the same call sites work in the CPU
+    test suite and on the chip."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _cfg_engine_update_impl(
+        x, uncond, cond, noise, c1, c2, sigma, g, interpret=interpret
+    )

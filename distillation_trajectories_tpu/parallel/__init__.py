@@ -8,6 +8,7 @@ from .mesh import (
     DATA_AXIS,
     MODEL_AXIS,
     make_mesh,
+    mesh_from_config,
     batch_sharding,
     replicated,
     param_spec,
@@ -16,3 +17,4 @@ from .mesh import (
     shard_batch,
 )
 from .distributed import initialize_distributed, make_global_mesh
+from .sweep import distill_students_parallel

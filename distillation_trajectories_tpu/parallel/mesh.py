@@ -42,6 +42,33 @@ def make_mesh(
     return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
 
 
+def mesh_from_config(config) -> Optional[Mesh]:
+    """Build the (data, model) mesh declared by ``Config.mesh_shape``.
+
+    Returns ``None`` for the single-device default ``(1, 1)`` so call sites
+    can use ``if mesh:`` to keep the unsharded fast path.  Raises when the
+    configured shape needs more devices than the backend exposes or when the
+    batch size does not divide over the data axis (GSPMD would otherwise
+    fail deep inside compilation with a far worse error).
+    """
+    shape = tuple(config.mesh_shape)
+    if shape == (1, 1):
+        return None
+    n_needed = shape[0] * shape[1]
+    devices = jax.devices()
+    if n_needed > len(devices):
+        raise ValueError(
+            f"mesh_shape {shape} needs {n_needed} devices, backend has "
+            f"{len(devices)}"
+        )
+    if config.batch_size % shape[0] != 0:
+        raise ValueError(
+            f"batch_size {config.batch_size} not divisible by data axis "
+            f"{shape[0]} of mesh_shape {shape}"
+        )
+    return make_mesh(shape, devices)
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (batch) axis over the data axis."""
     return NamedSharding(mesh, P(DATA_AXIS))

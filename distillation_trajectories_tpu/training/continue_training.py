@@ -18,6 +18,8 @@ import numpy as np
 from ..data import get_data_loader
 from ..diffusion import get_diffusion_params
 from ..models import make_unet
+from ..parallel import mesh_from_config, shard_batch, shard_train_state
+from ..parallel.mesh import replicated
 from .checkpoints import load_checkpoint, save_checkpoint
 from .state import (
     TrainState,
@@ -54,6 +56,11 @@ def continue_training(config, start_epoch: int, seed: int = 0, log_every: int = 
             )
         )
 
+    mesh = mesh_from_config(config)
+    if mesh is not None:
+        state = shard_train_state(state, mesh)
+        print(f"[continue] SPMD over mesh {dict(mesh.shape)}")
+
     diffusion_params = get_diffusion_params(config.timesteps, config)
     train_step = make_teacher_train_step(model, tx, diffusion_params, config.timesteps)
     loader = get_data_loader(config, seed=seed + start_epoch)
@@ -63,8 +70,18 @@ def continue_training(config, start_epoch: int, seed: int = 0, log_every: int = 
         t0 = time.time()
         total_loss, n_batches = 0.0, 0
         for batch_idx, (images, _) in enumerate(loader):
+            if (
+                config.limit_batches_per_epoch is not None
+                and batch_idx >= config.limit_batches_per_epoch
+            ):
+                break
             key, step_key = jax.random.split(key)
-            state, loss = train_step(state, jnp.asarray(images), step_key)
+            if mesh is not None:
+                images = shard_batch(images, mesh)
+                step_key = jax.device_put(step_key, replicated(mesh))
+            else:
+                images = jnp.asarray(images)
+            state, loss = train_step(state, images, step_key)
             total_loss += float(loss)
             n_batches += 1
             if log_every and (batch_idx + 1) % log_every == 0:

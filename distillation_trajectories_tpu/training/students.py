@@ -20,6 +20,8 @@ import numpy as np
 from ..data import get_data_loader
 from ..diffusion import get_diffusion_params, p_sample_loop
 from ..models import make_unet, init_unet, param_count, param_size_mb
+from ..parallel import mesh_from_config, shard_batch, shard_params, shard_train_state
+from ..parallel.mesh import replicated
 from ..utils.profiling import MetricsLogger, phase_timer
 from ..utils.viz import save_image_grid
 from .teacher import _progress
@@ -91,6 +93,17 @@ def distill_diffusion_model(
 
     tx = make_optimizer(config)
     state = create_train_state(student_model, variables, tx)
+
+    # Config.mesh_shape != (1,1): SPMD distillation — student state + teacher
+    # params channel-TP over "model", batches over "data" (parallel/mesh.py).
+    mesh = mesh_from_config(config)
+    if mesh is not None:
+        state = shard_train_state(state, mesh)
+        teacher_variables = {
+            k: shard_params(v, mesh) for k, v in teacher_variables.items()
+        }
+        print(f"[distill sf={size_factor}] SPMD over mesh {dict(mesh.shape)}")
+
     train_step = make_distill_train_step(
         teacher_model,
         teacher_variables,
@@ -114,8 +127,18 @@ def distill_diffusion_model(
         )
         with phase_timer(f"distill_epoch_sf{size_factor}"):
             for batch_idx, (images, _) in enumerate(progress):
+                if (
+                    config.limit_batches_per_epoch is not None
+                    and batch_idx >= config.limit_batches_per_epoch
+                ):
+                    break
                 key, step_key = jax.random.split(key)
-                state, loss = train_step(state, jnp.asarray(images), step_key)
+                if mesh is not None:
+                    images = shard_batch(images, mesh)
+                    step_key = jax.device_put(step_key, replicated(mesh))
+                else:
+                    images = jnp.asarray(images)
+                state, loss = train_step(state, images, step_key)
                 total_loss += float(loss)
                 n_batches += 1
                 if hasattr(progress, "set_postfix"):
@@ -194,14 +217,29 @@ def load_teacher(config, epoch: Optional[int] = None):
 
 
 def train_students(
-    config, custom_size_factors: Optional[List[float]] = None, seed: int = 0
+    config,
+    custom_size_factors: Optional[List[float]] = None,
+    seed: int = 0,
+    sweep_parallel: bool = False,
 ) -> Dict[float, Tuple[object, dict]]:
-    """Distill students for every size factor (reference train_students.py:214-268)."""
+    """Distill students for every size factor (reference train_students.py:214-268).
+
+    ``sweep_parallel=True`` distributes the sweep itself across devices —
+    student *i* pinned to device ``i % n`` with async-dispatched steps
+    (parallel/sweep.py) — instead of the reference's sequential loop.
+    """
     teacher_model, teacher_variables = load_teacher(config)
     size_factors = (
         custom_size_factors if custom_size_factors else config.student_size_factors
     )
     print_size_factor_info(size_factors)
+
+    if sweep_parallel:
+        from ..parallel.sweep import distill_students_parallel
+
+        return distill_students_parallel(
+            config, teacher_model, teacher_variables, size_factors, seed=seed
+        )
 
     students: Dict[float, Tuple[object, dict]] = {}
     for size_factor in size_factors:

@@ -20,6 +20,8 @@ import numpy as np
 from ..diffusion import get_diffusion_params
 from ..diffusion.sampling import generate_trajectory_scan
 from ..metrics.trajectory_metrics import _metrics_core, compute_trajectory_metrics
+from ..parallel import mesh_from_config
+from ..parallel.mesh import DATA_AXIS, batch_sharding
 from ..training.state import make_eval_model_fn
 
 
@@ -61,6 +63,7 @@ def generate_trajectory(
         seed=0 if seed is None else seed,
         guidance_scale=guidance_scale,
         store_dtype=_store_dtype(config),
+        use_pallas=getattr(config, "pallas_cfg_update", False),
     )
 
 
@@ -90,7 +93,10 @@ def make_paired_trajectory_fn(
     def one_sample(noise_hwc, seed, gs):
         noise = noise_hwc[None]  # model batch dim
         kwargs = dict(
-            guidance_scale=gs, use_cfg=use_cfg, store_dtype=_store_dtype(config)
+            guidance_scale=gs,
+            use_cfg=use_cfg,
+            store_dtype=_store_dtype(config),
+            use_pallas=getattr(config, "pallas_cfg_update", False),
         )
         t_traj = generate_trajectory_scan(
             t_fn, noise, timesteps, alphas, seed, **kwargs
@@ -150,6 +156,22 @@ def compare_trajectories(
     )
     seeds = jnp.asarray(seeds)
 
+    # Config.mesh_shape != (1,1): shard the sample axis over the data mesh
+    # axis so each device generates its own trajectory pairs (the vmapped
+    # scan runs SPMD; no collectives needed until the metric means).
+    mesh = mesh_from_config(config) if config is not None else None
+    if mesh is not None:
+        if num_samples % mesh.shape[DATA_AXIS] == 0:
+            sh = batch_sharding(mesh)
+            noises = jax.device_put(noises, sh)
+            seeds = jax.device_put(seeds, sh)
+        else:
+            print(
+                f"[engine] num_samples={num_samples} not divisible by data "
+                f"axis {mesh.shape[DATA_AXIS]}; running unsharded"
+            )
+            mesh = None
+
     pair_fns = {
         True: make_paired_trajectory_fn(
             teacher_model, teacher_variables, student_model, student_variables,
@@ -170,6 +192,8 @@ def compare_trajectories(
         use_cfg = gs is not None and gs > 1.0
         t_trajs, s_trajs = pair_fns[use_cfg](noises, seeds, jnp.float32(gs))
         keys = jax.random.split(jax.random.PRNGKey(base_seed), num_samples)
+        if mesh is not None:
+            keys = jax.device_put(keys, batch_sharding(mesh))
         metrics = batch_metrics(t_trajs, s_trajs, keys)
         scalars: Dict[str, float] = {}
         for k, v in metrics.items():

@@ -44,3 +44,24 @@ def load_student(config, size_factor, epoch=None):
 
 def parse_float_list(s):
     return [float(x) for x in s.split(",") if x.strip()]
+
+
+def add_mesh_flag(parser):
+    """--mesh D,M: (data, model) device-mesh axis sizes for SPMD training."""
+    parser.add_argument(
+        "--mesh", type=str, default=None, metavar="DATA,MODEL",
+        help="Device mesh axis sizes, e.g. '8,1' (data-parallel over 8 "
+        "chips) or '4,2' (4-way DP x 2-way channel tensor parallelism). "
+        "Default: single device.",
+    )
+
+
+def apply_mesh_arg(config, args):
+    """Set Config.mesh_shape from a parsed --mesh flag."""
+    if getattr(args, "mesh", None):
+        parts = [int(x) for x in args.mesh.split(",")]
+        if len(parts) == 1:
+            parts.append(1)
+        if len(parts) != 2 or parts[0] < 1 or parts[1] < 1:
+            raise SystemExit(f"--mesh must be 'DATA,MODEL' positive ints, got {args.mesh!r}")
+        config.mesh_shape = (parts[0], parts[1])

@@ -6,7 +6,7 @@ import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-from _common import project_root  # noqa: E402,F401
+from _common import project_root, add_mesh_flag, apply_mesh_arg  # noqa: E402,F401
 
 
 def main():
@@ -23,6 +23,7 @@ def main():
     parser.add_argument("--dataset", type=str, default=None,
                         choices=["MNIST", "CIFAR10"])
     parser.add_argument("--image_size", type=int, default=None)
+    add_mesh_flag(parser)
     args = parser.parse_args()
 
     from distillation_trajectories_tpu import Config
@@ -39,6 +40,7 @@ def main():
         config.dataset = args.dataset
     if args.image_size is not None:
         config.image_size = args.image_size
+    apply_mesh_arg(config, args)
     config.create_directories()
 
     print(f"Starting from epoch: {args.start_epoch}")

@@ -6,7 +6,7 @@ import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-from _common import project_root  # noqa: E402,F401
+from _common import project_root, add_mesh_flag, apply_mesh_arg  # noqa: E402,F401
 
 
 def main():
@@ -38,6 +38,15 @@ def main():
                         choices=["reference", "ancestral"])
     parser.add_argument("--base_dir", type=str, default=None,
                         help="Override the output root directory")
+    add_mesh_flag(parser)
+    parser.add_argument("--limit_batches", type=int, default=None,
+                        help="Cap batches per epoch (smoke runs)")
+    parser.add_argument(
+        "--sweep_parallel", action="store_true",
+        help="Distribute the size-factor sweep itself across devices "
+        "(one student per device, concurrent steps) instead of the "
+        "reference's sequential loop",
+    )
     args = parser.parse_args()
 
     from distillation_trajectories_tpu import Config
@@ -65,6 +74,9 @@ def main():
         config.sample_steps = args.timesteps
         config.teacher_steps = args.timesteps
         config.student_steps = args.timesteps
+    apply_mesh_arg(config, args)
+    if args.limit_batches is not None:
+        config.limit_batches_per_epoch = args.limit_batches
     config.create_directories()
 
     custom = None
@@ -73,7 +85,12 @@ def main():
         custom = [float(sf) for sf in args.custom_size_factors.split(",")]
         print(f"Using custom size factors: {custom}")
 
-    train_students(config, custom_size_factors=custom, seed=args.seed)
+    train_students(
+        config,
+        custom_size_factors=custom,
+        seed=args.seed,
+        sweep_parallel=args.sweep_parallel,
+    )
 
 
 if __name__ == "__main__":

@@ -6,7 +6,7 @@ import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-from _common import project_root  # noqa: E402,F401
+from _common import project_root, add_mesh_flag, apply_mesh_arg  # noqa: E402,F401
 
 
 def main():
@@ -36,6 +36,9 @@ def main():
                         choices=["reference", "ancestral"])
     parser.add_argument("--base_dir", type=str, default=None,
                         help="Override the output root directory")
+    add_mesh_flag(parser)
+    parser.add_argument("--limit_batches", type=int, default=None,
+                        help="Cap batches per epoch (smoke runs)")
     args = parser.parse_args()
 
     from distillation_trajectories_tpu import Config
@@ -63,6 +66,9 @@ def main():
         config.sample_steps = args.timesteps
         config.teacher_steps = args.timesteps
         config.student_steps = args.timesteps
+    apply_mesh_arg(config, args)
+    if args.limit_batches is not None:
+        config.limit_batches_per_epoch = args.limit_batches
     config.create_directories()
 
     train_teacher(config, seed=args.seed)

@@ -1,0 +1,144 @@
+"""Mesh-wired trainers + device-parallel student sweep (VERDICT r1 item 2).
+
+Covers:
+- Config.mesh_shape consumed by train_teacher / distill_diffusion_model
+  (SPMD over the virtual 8-device CPU mesh).
+- parallel/sweep.py: concurrent multi-student distillation matches the
+  sequential trainer's results exactly (same RNG streams, same batches).
+- The train_students CLI runs the sweep end-to-end with --sweep_parallel.
+"""
+
+import os
+import sys
+
+import jax
+import numpy as np
+import pytest
+
+from distillation_trajectories_tpu.models import make_unet, init_unet
+
+
+def _tiny_config(tmp_path, **kw):
+    from distillation_trajectories_tpu import Config
+
+    defaults = dict(
+        dataset="MNIST",
+        image_size=16,
+        channels=1,
+        batch_size=8,
+        sample_steps=8,
+        timesteps=8,
+        epochs=1,
+        compute_dtype="float32",
+        num_samples_to_generate=4,
+        samples_grid_size=2,
+        limit_batches_per_epoch=2,
+        base_dir=str(tmp_path),
+    )
+    defaults.update(kw)
+    cfg = Config(**defaults)
+    cfg.create_directories()
+    return cfg
+
+
+def test_mesh_from_config_validation(tmp_path):
+    from distillation_trajectories_tpu.parallel import mesh_from_config
+
+    assert mesh_from_config(_tiny_config(tmp_path)) is None
+    mesh = mesh_from_config(_tiny_config(tmp_path, mesh_shape=(4, 2)))
+    assert dict(mesh.shape) == {"data": 4, "model": 2}
+    with pytest.raises(ValueError, match="devices"):
+        mesh_from_config(_tiny_config(tmp_path, mesh_shape=(16, 2)))
+    with pytest.raises(ValueError, match="divisible"):
+        mesh_from_config(_tiny_config(tmp_path, mesh_shape=(3, 1)))
+
+
+def test_train_teacher_on_mesh(tmp_path):
+    """train_teacher consumes Config.mesh_shape: state sharded, step SPMD."""
+    from distillation_trajectories_tpu.training import train_teacher
+
+    cfg = _tiny_config(tmp_path, mesh_shape=(4, 2))
+    model, variables = train_teacher(cfg, seed=0)
+    kernel = variables["params"]["enc1"]["conv1"]["kernel"]
+    assert len(kernel.sharding.device_set) >= 2  # channel-TP survived the step
+    assert os.path.exists(
+        os.path.join(cfg.teacher_models_dir, "model_epoch_1.msgpack")
+    )
+
+
+def test_sweep_parallel_matches_sequential(tmp_path):
+    """distill_students_parallel == sequential distill_diffusion_model."""
+    from distillation_trajectories_tpu.parallel.sweep import (
+        distill_students_parallel,
+    )
+    from distillation_trajectories_tpu.training.students import (
+        distill_diffusion_model,
+    )
+
+    size_factors = [0.25, 0.5]
+
+    cfg_par = _tiny_config(tmp_path / "par")
+    teacher = make_unet(cfg_par, size_factor=0.5)
+    teacher_vars = init_unet(teacher, cfg_par, jax.random.PRNGKey(7))
+
+    par = distill_students_parallel(
+        cfg_par, teacher, teacher_vars, size_factors, seed=0
+    )
+
+    for sf in size_factors:
+        cfg_seq = _tiny_config(tmp_path / f"seq{sf}")
+        _, seq_vars = distill_diffusion_model(
+            teacher, teacher_vars, cfg_seq, size_factor=sf, seed=0
+        )
+        par_params = jax.tree_util.tree_leaves(par[sf][1]["params"])
+        seq_params = jax.tree_util.tree_leaves(seq_vars["params"])
+        for a, b in zip(par_params, seq_params):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7
+            )
+        # checkpoints written under the same naming contract
+        assert os.path.exists(
+            os.path.join(cfg_par.student_dir(sf), "model_epoch_1.msgpack")
+        )
+
+
+def test_train_students_cli_sweep_parallel(tmp_path, monkeypatch):
+    """The CLI path: --sweep_parallel --mesh over the virtual devices."""
+    from distillation_trajectories_tpu.training import save_checkpoint
+
+    # channels=3: the CLI has no --channels flag, so the checkpointed teacher
+    # must match the Config default (MNIST images get channel-repeated).
+    cfg = _tiny_config(tmp_path, channels=3)
+    teacher = make_unet(cfg, size_factor=1.0)
+    teacher_vars = init_unet(teacher, cfg, jax.random.PRNGKey(0))
+    save_checkpoint(
+        cfg.teacher_models_dir,
+        1,
+        teacher_vars["params"],
+        batch_stats=teacher_vars["batch_stats"],
+    )
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    import importlib
+
+    train_students_cli = importlib.import_module("train_students")
+    monkeypatch.setattr(
+        sys,
+        "argv",
+        [
+            "train_students.py",
+            "--custom_size_factors", "0.25",
+            "--dataset", "MNIST",
+            "--epochs", "1",
+            "--timesteps", "8",
+            "--image_size", "16",
+            "--batch_size", "8",
+            "--limit_batches", "2",
+            "--sweep_parallel",
+            "--base_dir", str(tmp_path),
+        ],
+    )
+    train_students_cli.main()
+    assert os.path.exists(
+        os.path.join(cfg.student_dir(0.25), "model_epoch_1.msgpack")
+    )
