@@ -128,3 +128,136 @@ def parallel_generate_trajectory(
         [noise[None], outputs, outputs[-1:]], axis=0
     )
     return trajectory, sweeps
+
+
+def sliding_window_trajectory(
+    model_fn: ModelFn,
+    noise: jnp.ndarray,
+    timesteps: int,
+    alphas: jnp.ndarray,
+    seed,
+    guidance_scale: Optional[float] = None,
+    use_cfg: Optional[bool] = None,
+    window: int = 8,
+    tol: float = 1e-3,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Sliding-window ParaDiGMS (Shih et al. 2023): batched-window Picard
+    with per-step convergence slide-out.
+
+    A window of ``W`` consecutive steps is iterated together: one sweep
+    evaluates the model at all W timesteps as a single ``W·B`` batch, then
+    the leading positions whose *inputs* moved less than ``tol`` (RMS per
+    pixel) are finalized and the window slides past them.  Position 0's
+    input is always exact (it is the finalized frontier), so every sweep
+    finalizes ≥ 1 step — worst case equals sequential latency in sweep
+    count, best case finalizes several steps per sweep, converting model
+    latency into batch width (the TPU trade that wins at small B where the
+    chip is underutilized).
+
+    ``tol=0`` finalizes exactly one step per sweep and reproduces the
+    sequential chain bit-for-bit (the window positions ahead only serve as
+    warm starts).  With ``tol>0`` later steps may be accepted within
+    tolerance of the exact chain; callers should validate metric deltas
+    (see PERFORMANCE.md for measured speed/accuracy numbers).
+
+    Returns ``(trajectory [T+1, B, H, W, C], sweeps_used)``.
+    """
+    if use_cfg is None:
+        use_cfg = guidance_scale is not None and (
+            not isinstance(guidance_scale, (int, float)) or guidance_scale > 1.0
+        )
+    gs = 1.0 if guidance_scale is None else guidance_scale
+    T = timesteps
+    n_steps = T - 1
+    W = min(window, n_steps)
+    b = noise.shape[0]
+    img_shape = noise.shape[1:]
+    base_key = jax.random.PRNGKey(seed) if jnp.ndim(seed) == 0 else seed
+
+    ts = jnp.arange(T - 1, 0, -1, dtype=jnp.int32)  # [n_steps]
+    # Pad with t=1 so window positions past the end stay valid (their
+    # outputs are masked out of the trajectory writes).
+    ts_pad = jnp.concatenate([ts, jnp.ones((W,), jnp.int32)])
+
+    def window_sweep(f, states):
+        """One sweep over window positions f..f+W-1.
+
+        Returns (outputs [W,B,...], new_inputs [W,B,...])."""
+        t_w = jax.lax.dynamic_slice_in_dim(ts_pad, f, W)  # [W]
+        flat = states.reshape((W * b,) + img_shape)
+        tvec = jnp.repeat(t_w.astype(jnp.float32), b)
+        if use_cfg:
+            zeros = jnp.zeros((W * b, 1), flat.dtype)
+            ones = jnp.ones((W * b, 1), flat.dtype)
+            pred_u = model_fn(flat, tvec, zeros, ones)
+            pred_c = model_fn(flat, tvec, ones, ones)
+            eps = pred_u + gs * (pred_c - pred_u)
+        else:
+            zeros = jnp.zeros((W * b, 1), flat.dtype)
+            eps = model_fn(flat, tvec, zeros, zeros)
+        eps = eps.reshape(states.shape)
+        step_noise = jax.vmap(
+            lambda t: jax.random.normal(
+                jax.random.fold_in(base_key, t), (b,) + img_shape, noise.dtype
+            )
+        )(t_w)
+        bshape = (W,) + (1,) * (states.ndim - 1)
+        outputs = engine_update(
+            states,
+            eps,
+            step_noise,
+            alphas[t_w].reshape(bshape),
+            alphas[t_w - 1].reshape(bshape),
+        )
+        new_inputs = jnp.concatenate([states[:1], outputs[:-1]], axis=0)
+        return outputs, new_inputs
+
+    traj_buf = jnp.zeros((T + 1, b) + img_shape, noise.dtype)
+    traj_buf = traj_buf.at[0].set(noise)
+
+    def cond(carry):
+        f, _, _, _ = carry
+        return f < n_steps
+
+    def body(carry):
+        f, states, buf, sweeps = carry
+        outputs, new_inputs = window_sweep(f, states)
+        # RMS input drift per window position; position 0 is pinned-exact.
+        drift = jnp.sqrt(
+            jnp.mean((new_inputs - states) ** 2, axis=tuple(range(1, states.ndim)))
+        )
+        converged = drift <= tol
+        # k = 1 (position 0 output is exact) + length of converged run at 1..
+        run = jnp.cumprod(converged[1:].astype(jnp.int32))
+        k = 1 + jnp.sum(run)
+        k = jnp.minimum(k, n_steps - f)
+
+        j = jnp.arange(W)
+        write_idx = jnp.where((j < k), f + 1 + j, T + 1)  # T+1 → dropped
+        buf = buf.at[write_idx].set(outputs, mode="drop")
+
+        # Slide: new position j takes new_inputs[j+k]; past the window end,
+        # warm-start from the newest output.
+        src = jnp.clip(j + k, 0, W - 1)
+        shifted = jnp.take(new_inputs, src, axis=0)
+        frontier_fill = jnp.broadcast_to(outputs[-1], states.shape)
+        states = jnp.where(
+            (j + k <= W - 1).reshape((W,) + (1,) * (states.ndim - 1)),
+            shifted,
+            frontier_fill,
+        )
+        # Re-pin position 0 to the exact frontier input (= output of the
+        # last finalized step, which we just wrote at buf[f+k]).
+        states = states.at[0].set(
+            jax.lax.dynamic_index_in_dim(buf, f + k, 0, keepdims=False)
+        )
+        return f + k, states, buf, sweeps + 1
+
+    init_states = jnp.broadcast_to(noise, (W, b) + img_shape)
+    f, states, traj_buf, sweeps = jax.lax.while_loop(
+        cond, body, (jnp.asarray(0), init_states, traj_buf, jnp.asarray(0))
+    )
+    # Reference layout: the t=0 iteration is a no-op — duplicate the final
+    # state (diffusion/sampling.py::generate_trajectory_scan).
+    traj_buf = traj_buf.at[T].set(traj_buf[T - 1])
+    return traj_buf, sweeps

@@ -1,0 +1,134 @@
+"""Full reference-default workload, timed end-to-end (BASELINE.json north
+star: "the full 11-size sweep").
+
+Stages (all reference-default flags):
+1. Teacher training            — train_teacher.py, 10 epochs, CIFAR-10 32x32
+   defaults (synthetic fallback when blobs are stripped).
+2. Student distillation sweep  — train_students.py, 5 epochs (reference
+   README default), the 11 README size factors 0.01-1.0 PLUS 0.05/0.75 so
+   the CFG-sweep CLI's own default size list is fully trainable.
+3. CFG trajectory-metric sweep — analyze_trajectory_metrics.py defaults:
+   8 sizes x 10 guidance scales x 10 samples, T=100.
+
+Writes SWEEP_r{N}.json at the repo root with per-stage wall-clock and the
+equivalent-reference-time estimate from the measured reference rate in
+.bench_baseline.json (trajectory generation only — the training stages have
+no measured reference counterpart and are reported as wall-clock only).
+
+Usage: python scripts/run_full_sweep.py [--tag r02] [--skip-training]
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from _common import project_root  # noqa: E402
+
+SIZE_FACTORS = "0.01,0.05,0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.75,0.8,0.9,1.0"
+
+
+def run_stage(name, cmd, log_dir):
+    log_path = os.path.join(log_dir, f"sweep_{name}.log")
+    print(f"[sweep] stage {name}: {' '.join(cmd)}")
+    print(f"[sweep]   log: {log_path}")
+    t0 = time.time()
+    with open(log_path, "w") as log:
+        proc = subprocess.run(
+            cmd, stdout=log, stderr=subprocess.STDOUT, cwd=project_root
+        )
+    dt = time.time() - t0
+    ok = proc.returncode == 0
+    print(f"[sweep] stage {name}: {'OK' if ok else 'FAILED'} in {dt:.1f}s")
+    if not ok:
+        with open(log_path) as f:
+            print("".join(f.readlines()[-30:]))
+    return {"ok": ok, "seconds": round(dt, 1), "cmd": " ".join(cmd)}
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--tag", type=str, default="r02")
+    parser.add_argument("--skip-training", action="store_true",
+                        help="Only run the CFG sweep against existing checkpoints")
+    parser.add_argument("--epochs_teacher", type=int, default=10)
+    parser.add_argument("--epochs_students", type=int, default=5)
+    args = parser.parse_args()
+
+    log_dir = os.path.join(project_root, "output", "results")
+    os.makedirs(log_dir, exist_ok=True)
+    py = sys.executable
+
+    stages = {}
+    t_start = time.time()
+    if not args.skip_training:
+        stages["teacher"] = run_stage(
+            "teacher",
+            [py, "scripts/train_teacher.py", "--epochs", str(args.epochs_teacher)],
+            log_dir,
+        )
+        if not stages["teacher"]["ok"]:
+            _write(args.tag, stages, t_start, ok=False)
+            sys.exit(1)
+        stages["students"] = run_stage(
+            "students",
+            [
+                py, "scripts/train_students.py",
+                "--epochs", str(args.epochs_students),
+                "--custom_size_factors", SIZE_FACTORS,
+            ],
+            log_dir,
+        )
+        if not stages["students"]["ok"]:
+            _write(args.tag, stages, t_start, ok=False)
+            sys.exit(1)
+
+    stages["cfg_sweep"] = run_stage(
+        "cfg_sweep",
+        [py, "scripts/analysis/analyze_trajectory_metrics.py"],
+        log_dir,
+    )
+    _write(args.tag, stages, t_start, ok=stages["cfg_sweep"]["ok"])
+    sys.exit(0 if stages["cfg_sweep"]["ok"] else 1)
+
+
+def _write(tag, stages, t_start, ok):
+    total = time.time() - t_start
+    # Reference-equivalent estimate for the sweep stage only: the measured
+    # reference trajectory rate (.bench_baseline.json, traj/s on this host's
+    # CPU) over the sweep's 8 sizes x 10 scales x 10 samples x 2 chains.
+    ref_rate = None
+    baseline_path = os.path.join(project_root, ".bench_baseline.json")
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            ref_rate = json.load(f).get("ref_traj_per_sec_cpu")
+    n_traj = 8 * 10 * 10 * 2
+    payload = {
+        "tag": tag,
+        "ok": ok,
+        "total_seconds": round(total, 1),
+        "stages": stages,
+        "workload": {
+            "teacher_epochs": "see stages",
+            "student_size_factors": SIZE_FACTORS,
+            "cfg_sweep": "8 sizes x 10 guidance scales x 10 samples, T=100, "
+                         "paired teacher/student chains",
+            "n_trajectories_in_sweep": n_traj,
+        },
+        "reference_traj_per_s": ref_rate,
+        "reference_equiv_sweep_seconds": (
+            round(n_traj / ref_rate, 1) if ref_rate else None
+        ),
+    }
+    out = os.path.join(project_root, f"SWEEP_{tag}.json")
+    with open(out, "w") as f:
+        json.dump(payload, f, indent=2)
+        f.write("\n")
+    print(f"[sweep] wrote {out}: ok={ok} total={total:.1f}s")
+
+
+if __name__ == "__main__":
+    main()

@@ -74,3 +74,77 @@ def test_parallel_early_exit_uses_fewer_sweeps(test_config):
     np.testing.assert_allclose(
         np.asarray(par_loose), np.asarray(par_exact), atol=0.1
     )
+
+
+def test_sliding_window_tol0_matches_sequential(test_config):
+    """tol=0 finalizes one step per sweep and reproduces the chain exactly
+    (window positions only act as warm starts)."""
+    from distillation_trajectories_tpu.diffusion.parallel_sampling import (
+        sliding_window_trajectory,
+    )
+
+    fn = _model_fn(test_config)
+    T = test_config.timesteps
+    dp = get_diffusion_params(T, test_config)
+    noise = jax.random.normal(jax.random.PRNGKey(4), (2, 16, 16, 1))
+
+    seq = generate_trajectory_scan(fn, noise, T, dp["alphas"], seed=9)
+    win, sweeps = sliding_window_trajectory(
+        fn, noise, T, dp["alphas"], seed=9, window=4, tol=0.0
+    )
+    assert win.shape == seq.shape
+    assert int(sweeps) == T - 1
+    np.testing.assert_allclose(
+        np.asarray(win), np.asarray(seq), rtol=1e-4, atol=1e-5
+    )
+    # layout contract: entry 0 is the noise, last two entries identical
+    np.testing.assert_array_equal(np.asarray(win[0]), np.asarray(noise))
+    np.testing.assert_array_equal(np.asarray(win[-1]), np.asarray(win[-2]))
+
+
+def test_sliding_window_cfg_and_slide_mechanics(test_config):
+    from distillation_trajectories_tpu.diffusion.parallel_sampling import (
+        sliding_window_trajectory,
+    )
+
+    fn = _model_fn(test_config)
+    T = test_config.timesteps  # 10 → n_steps = 9
+    dp = get_diffusion_params(T, test_config)
+    noise = jax.random.normal(jax.random.PRNGKey(5), (1, 16, 16, 1))
+
+    # CFG path, tol=0 parity
+    seq = generate_trajectory_scan(
+        fn, noise, T, dp["alphas"], seed=11, guidance_scale=4.0
+    )
+    win, _ = sliding_window_trajectory(
+        fn, noise, T, dp["alphas"], seed=11, guidance_scale=4.0,
+        window=4, tol=0.0,
+    )
+    np.testing.assert_allclose(
+        np.asarray(win), np.asarray(seq), rtol=1e-4, atol=1e-5
+    )
+
+    # Infinite tolerance slides the full window every sweep:
+    # ceil(9 / 4) = 3 sweeps.
+    _, sweeps = sliding_window_trajectory(
+        fn, noise, T, dp["alphas"], seed=11, window=4, tol=1e9
+    )
+    assert int(sweeps) == -(-(T - 1) // 4)
+
+
+def test_sliding_window_finite_tol_close_to_exact(test_config):
+    from distillation_trajectories_tpu.diffusion.parallel_sampling import (
+        sliding_window_trajectory,
+    )
+
+    fn = _model_fn(test_config)
+    T = test_config.timesteps
+    dp = get_diffusion_params(T, test_config)
+    noise = jax.random.normal(jax.random.PRNGKey(6), (1, 16, 16, 1))
+
+    exact = generate_trajectory_scan(fn, noise, T, dp["alphas"], seed=13)
+    win, sweeps = sliding_window_trajectory(
+        fn, noise, T, dp["alphas"], seed=13, window=4, tol=1e-2
+    )
+    assert int(sweeps) <= T - 1
+    np.testing.assert_allclose(np.asarray(win), np.asarray(exact), atol=0.15)
