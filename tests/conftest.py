@@ -27,6 +27,15 @@ import numpy as np
 import pytest
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: full train-step compiles (~1 min each on the 1-core CPU "
+        "suite); `pytest -m 'not slow'` is the quick pre-commit lane, the "
+        "full suite remains the green gate",
+    )
+
+
 @pytest.fixture
 def test_config(tmp_path):
     """Small config for fast tests (analog of reference TestConfig,

@@ -110,10 +110,34 @@ def test_dimensionality_and_latent_space(small_model):
     assert os.path.exists(
         os.path.join(out, "trajectory_0", "pca_trajectory.png")
     )
+    # UMAP artifact exists even without umap-learn (numpy fallback)
+    assert os.path.exists(
+        os.path.join(out, "trajectory_0", "umap_trajectory.png")
+    )
     out2 = generate_latent_space_visualization(
         trajs[0], trajs[1], cfg, size_factor=0.1
     )
     assert os.path.exists(os.path.join(out2, "3d_latent_space.png"))
+
+
+def test_umap_fallback_separates_clusters():
+    """The numpy UMAP fallback keeps well-separated clusters separated."""
+    from distillation_trajectories_tpu.analysis.dimensionality import (
+        umap_fallback_embedding,
+    )
+
+    rng = np.random.default_rng(0)
+    a = rng.normal(0.0, 0.05, (30, 20))
+    b = rng.normal(5.0, 0.05, (30, 20))
+    emb = umap_fallback_embedding(np.vstack([a, b]), n_neighbors=10)
+    assert emb.shape == (60, 2)
+    assert np.isfinite(emb).all()
+    # every point sits nearer its own cluster centroid than the other's
+    ca, cb = emb[:30].mean(axis=0), emb[30:].mean(axis=0)
+    da = np.linalg.norm(emb - ca, axis=1)
+    db = np.linalg.norm(emb - cb, axis=1)
+    assert (da[:30] < db[:30]).all() and (db[30:] < da[30:]).all()
+    assert np.linalg.norm(ca - cb) > max(emb[:30].std(), emb[30:].std())
 
 
 def test_noise_prediction_analysis(small_model):

@@ -82,11 +82,21 @@ def test_forward_shape_and_cond_mask(test_config):
 
 
 def test_param_count_scales_with_size_factor(test_config):
+    # eval_shape: structure without materializing params (no compile cost)
     counts = {}
     for sf in (0.1, 1.0):
         model = make_unet(test_config, size_factor=sf)
-        variables = init_unet(model, test_config, jax.random.PRNGKey(0))
-        counts[sf] = param_count(variables["params"])
+        shapes = jax.eval_shape(
+            lambda m=model: m.init(
+                jax.random.PRNGKey(0),
+                jnp.zeros((1, 16, 16, 1)),
+                jnp.zeros((1,)),
+            )
+        )
+        counts[sf] = sum(
+            int(np.prod(l.shape))
+            for l in jax.tree_util.tree_leaves(shapes["params"])
+        )
     assert counts[1.0] > 20 * counts[0.1]
 
 
@@ -109,6 +119,7 @@ def test_train_mode_updates_batch_stats(test_config):
     assert any(not np.allclose(a, b) for a, b in zip(old, new))
 
 
+@pytest.mark.slow
 def test_remat_model_matches_and_trains(test_config):
     """remat=True must be numerically identical in forward and usable in a
     train step (activation-memory trade only)."""
@@ -140,6 +151,7 @@ def test_remat_model_matches_and_trains(test_config):
     assert np.isfinite(float(loss))
 
 
+@pytest.mark.slow
 def test_groupnorm_variant(test_config):
     """norm='group' model: no batch_stats collection, stable forward, and a
     working train step."""

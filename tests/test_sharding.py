@@ -38,35 +38,11 @@ def test_param_spec_rules():
     assert param_spec(conv, 1) == P()
 
 
-def test_sharded_teacher_train_step(test_config):
-    """Full teacher train step over a 4×2 (data × model) mesh."""
-    from distillation_trajectories_tpu.diffusion import get_diffusion_params
-    from distillation_trajectories_tpu.models import make_unet, init_unet
-    from distillation_trajectories_tpu.training import (
-        create_train_state,
-        make_optimizer,
-        make_teacher_train_step,
-    )
-
-    mesh = make_mesh((4, 2))
-    model = make_unet(test_config, size_factor=0.25)  # 32-ch base, TP-divisible
-    variables = init_unet(model, test_config, jax.random.PRNGKey(0))
-    tx = make_optimizer(test_config)
-    state = shard_train_state(
-        create_train_state(model, variables, tx), mesh
-    )
-    dp = get_diffusion_params(test_config.timesteps, test_config)
-    step = make_teacher_train_step(model, tx, dp, test_config.timesteps)
-
-    images = shard_batch(
-        np.random.default_rng(0).uniform(-1, 1, (16, 16, 16, 1)).astype(np.float32),
-        mesh,
-    )
-    state, loss = step(state, images, jax.random.PRNGKey(1))
-    assert np.isfinite(float(loss))
-    # params carried their channel-TP sharding through the step
-    kernel = state.params["enc1"]["conv1"]["kernel"]
-    assert len(kernel.sharding.device_set) >= 2
+# NOTE: the hand-built sharded teacher-train-step test was superseded by
+# tests/test_sweep_parallel.py::test_train_teacher_on_mesh, which exercises
+# the identical GSPMD step through the production trainer (and is the path
+# the --mesh CLI flag drives); keeping both doubled the most expensive
+# compile in the suite for no extra coverage.
 
 
 def test_sharded_trajectory_generation(test_config):
