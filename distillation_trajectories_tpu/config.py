@@ -130,6 +130,13 @@ class Config:
     # Pallas kernel (ops/cfg_update.py) instead of jnp ops.  Off by default;
     # measured on-chip numbers in PERFORMANCE.md decide whether it stays.
     pallas_cfg_update: bool = False
+    # Parallel-in-time trajectory generation (diffusion/parallel_sampling.py):
+    # "off" = sequential scan (default, reference-exact), "window" =
+    # sliding-window ParaDiGMS (latency-oriented, B=1;
+    # paradigms_window/paradigms_tol below; tol=0 is exact).
+    parallel_sampling: str = "off"
+    paradigms_window: int = 8
+    paradigms_tol: float = 1e-3
     # Use EMA params for sampling/eval when available (ref declares ema_rate
     # but never uses it; off by default for parity).
     use_ema: bool = False

@@ -55,7 +55,15 @@ def mesh_from_config(config) -> Optional[Mesh]:
     if shape == (1, 1):
         return None
     n_needed = shape[0] * shape[1]
-    devices = jax.devices()
+    # Honor an active jax.default_device scope: build the mesh from that
+    # device's platform, not the process-default backend.  This is what lets
+    # dryrun_multichip pin its 8-virtual-CPU mesh even after entry() has
+    # already initialized the (1-chip) TPU backend in the same process.
+    default_dev = jax.config.jax_default_device
+    if default_dev is not None:
+        devices = jax.devices(default_dev.platform)
+    else:
+        devices = jax.devices()
     if n_needed > len(devices):
         raise ValueError(
             f"mesh_shape {shape} needs {n_needed} devices, backend has "

@@ -52,9 +52,28 @@ def generate_trajectory(
         noise: ``[B, H, W, C]`` starting noise.
     Returns:
         ``[T+1, B, H, W, C]`` on-device trajectory array.
+
+    ``Config.parallel_sampling="window"`` switches to the sliding-window
+    ParaDiGMS sampler (latency-oriented; see PERFORMANCE.md for measured
+    speed/accuracy at each window/tol).
     """
     model_fn = make_eval_model_fn(model, variables)
     dp = get_diffusion_params(timesteps, config)
+    if config is not None and getattr(config, "parallel_sampling", "off") == "window":
+        from ..diffusion.parallel_sampling import sliding_window_trajectory
+
+        traj, _ = sliding_window_trajectory(
+            model_fn,
+            jnp.asarray(noise),
+            timesteps,
+            dp["alphas"],
+            0 if seed is None else seed,
+            guidance_scale=guidance_scale,
+            window=getattr(config, "paradigms_window", 8),
+            tol=getattr(config, "paradigms_tol", 1e-3),
+        )
+        store = _store_dtype(config)
+        return traj if store is None else traj.astype(store)
     return generate_trajectory_scan(
         model_fn,
         jnp.asarray(noise),

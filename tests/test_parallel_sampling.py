@@ -132,6 +132,32 @@ def test_sliding_window_cfg_and_slide_mechanics(test_config):
     assert int(sweeps) == -(-(T - 1) // 4)
 
 
+def test_config_parallel_sampling_window_switch(test_config):
+    """Config.parallel_sampling='window' routes engine.generate_trajectory
+    through the sliding-window sampler; tol=0 is exact."""
+    from distillation_trajectories_tpu.models import make_unet, init_unet
+    from distillation_trajectories_tpu.trajectories.engine import (
+        generate_trajectory,
+    )
+
+    model = make_unet(test_config, size_factor=0.1)
+    variables = init_unet(model, test_config, jax.random.PRNGKey(0))
+    noise = jax.random.normal(jax.random.PRNGKey(7), (1, 16, 16, 1))
+
+    seq = generate_trajectory(
+        model, variables, noise, test_config.timesteps, seed=2, config=test_config
+    )
+    test_config.parallel_sampling = "window"
+    test_config.paradigms_tol = 0.0
+    win = generate_trajectory(
+        model, variables, noise, test_config.timesteps, seed=2, config=test_config
+    )
+    test_config.parallel_sampling = "off"
+    np.testing.assert_allclose(
+        np.asarray(win), np.asarray(seq), rtol=1e-4, atol=1e-5
+    )
+
+
 def test_sliding_window_finite_tol_close_to_exact(test_config):
     from distillation_trajectories_tpu.diffusion.parallel_sampling import (
         sliding_window_trajectory,
