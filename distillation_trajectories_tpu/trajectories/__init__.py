@@ -2,6 +2,8 @@
 from .engine import (
     generate_trajectory,
     compare_trajectories,
+    make_batch_trajectory_fn,
     make_paired_trajectory_fn,
+    sweep_compare_trajectories,
 )
 from .manager import TrajectoryManager, generate_trajectories_with_disk_storage

@@ -129,37 +129,52 @@ def make_paired_trajectory_fn(
     return jax.jit(batched)
 
 
-def compare_trajectories(
-    teacher_model,
-    student_model,
-    config,
-    guidance_scales: Sequence[float] = (1.0, 3.0, 5.0),
-    size_factor: float = 1.0,
-    num_samples: int = 3,
-    teacher_variables=None,
-    student_variables=None,
-    base_seed: int = 42,
-) -> Dict[str, Dict[float, Dict[str, float]]]:
-    """Compare teacher/student trajectories across guidance scales.
+def make_batch_trajectory_fn(
+    model,
+    variables,
+    timesteps: int,
+    config=None,
+    use_cfg: bool = True,
+):
+    """Single-model version of :func:`make_paired_trajectory_fn`.
 
-    Reference ``trajectory_engine.py:117-179``: for each of ``num_samples``
-    noise draws (seed = 42+i) and each guidance scale, generate paired
-    trajectories from the *same* noise and average the scalar metrics.
-
-    TPU-native: all samples for a guidance scale run as one vmapped batch;
-    scales >1 share one compiled CFG graph (gs is traced), gs≤1 uses the
-    no-CFG graph — matching the reference's branch at
-    trajectory_engine.py:65-83.  Metrics are computed on device, vmapped
-    across samples, then averaged.
-
-    Returns ``{"teacher_metrics": {gs: {...}}, "student_metrics": {...}}``
-    (the reference stores the same pair metrics under both keys,
-    trajectory_engine.py:162-164 — preserved).
+    Returns a jitted ``fn(noises [S,H,W,C], seeds [S], gs scalar) ->
+    trajs [S, T+1, H, W, C]``.  Used by the sweep path so the teacher chain
+    (independent of student size) is generated and compiled once, and each
+    per-size compile covers only the student graph — the reference's sweep
+    recomputes the teacher for every size (trajectory_engine.py:117-179).
     """
-    if teacher_variables is None or student_variables is None:
-        raise ValueError("teacher_variables and student_variables are required")
+    model_fn = make_eval_model_fn(model, variables)
+    dp = get_diffusion_params(timesteps, config)
+    alphas = dp["alphas"]
 
-    timesteps = config.timesteps
+    def one_sample(noise_hwc, seed, gs):
+        traj = generate_trajectory_scan(
+            model_fn,
+            noise_hwc[None],
+            timesteps,
+            alphas,
+            seed,
+            guidance_scale=gs,
+            use_cfg=use_cfg,
+            store_dtype=_store_dtype(config),
+            use_pallas=getattr(config, "pallas_cfg_update", False),
+        )
+        return traj[:, 0]
+
+    return jax.jit(jax.vmap(one_sample, in_axes=(0, 0, None)))
+
+
+@jax.jit
+def _batch_metrics(t_trajs, s_trajs, keys):
+    """Metric suite vmapped over the sample axis; module-level jit so the
+    sweep compiles it once per process (shapes are size-independent), not
+    once per size factor."""
+    return jax.vmap(lambda t, s, k: _metrics_core(t, s, k))(t_trajs, s_trajs, keys)
+
+
+def _sweep_inputs(config, num_samples: int, base_seed: int):
+    """(noises, seeds, mesh) shared by every size factor in a sweep."""
     seeds = np.array([base_seed + i for i in range(num_samples)], dtype=np.int32)
     # Per-sample noise from the sample seed (reference seeds torch's global
     # generator with 42+i then draws the noise; we use the same seed for the
@@ -190,35 +205,166 @@ def compare_trajectories(
                 f"axis {mesh.shape[DATA_AXIS]}; running unsharded"
             )
             mesh = None
+    return noises, seeds, mesh
 
-    pair_fns = {
-        True: make_paired_trajectory_fn(
-            teacher_model, teacher_variables, student_model, student_variables,
-            timesteps, config, use_cfg=True,
-        ),
-        False: make_paired_trajectory_fn(
-            teacher_model, teacher_variables, student_model, student_variables,
-            timesteps, config, use_cfg=False,
-        ),
+
+def sweep_compare_trajectories(
+    teacher_model,
+    teacher_variables,
+    students,
+    config,
+    guidance_scales: Sequence[float] = (1.0, 3.0, 5.0),
+    num_samples: int = 3,
+    base_seed: int = 42,
+    compile_workers: int = 8,
+    verbose: bool = True,
+) -> Dict[float, Dict[str, Dict[float, Dict[str, float]]]]:
+    """Teacher-vs-student metric sweep over many student sizes at once.
+
+    Same per-(size, scale) results as calling :func:`compare_trajectories`
+    per size (reference sweep loop, analyze_trajectory_metrics.py:433-466),
+    restructured for compile efficiency on TPU:
+
+    * teacher trajectories are generated ONCE per guidance scale and shared
+      across all sizes (they do not depend on the student);
+    * each size factor compiles a student-only scan (roughly half the graph
+      of the old paired teacher+student scan);
+    * the metric suite compiles once per process (module-level jit);
+    * all executables are AOT-compiled concurrently up front
+      (``jit.lower().compile()`` in ``compile_workers`` threads) — XLA
+      compilation releases the GIL and the axon backend compiles
+      server-side, so the sweep's compile wall-clock approaches the single
+      slowest graph instead of the sum.
+
+    Args:
+        students: ``{size_factor: (student_model, student_variables)}``.
+    Returns:
+        ``{size_factor: {"teacher_metrics": {gs: {...}},
+        "student_metrics": {gs: {...}}}}`` — per size, the same structure
+        :func:`compare_trajectories` returns.
+    """
+    import concurrent.futures
+    import time as _time
+
+    timesteps = config.timesteps
+    noises, seeds, mesh = _sweep_inputs(config, num_samples, base_seed)
+    gs_example = jnp.float32(1.0)
+
+    def batch_fns(model, variables):
+        return {
+            use_cfg: make_batch_trajectory_fn(
+                model, variables, timesteps, config, use_cfg=use_cfg
+            )
+            for use_cfg in (True, False)
+        }
+
+    teacher_fns = batch_fns(teacher_model, teacher_variables)
+    student_fns = {
+        sf: batch_fns(model, variables)
+        for sf, (model, variables) in students.items()
     }
 
-    @jax.jit
-    def batch_metrics(t_trajs, s_trajs, keys):
-        return jax.vmap(lambda t, s, k: _metrics_core(t, s, k))(t_trajs, s_trajs, keys)
+    any_cfg = any(gs is not None and gs > 1.0 for gs in guidance_scales)
+    any_nocfg = any(gs is None or gs <= 1.0 for gs in guidance_scales)
+    needed_cfg = [uc for uc in (True, False) if (uc and any_cfg) or (not uc and any_nocfg)]
 
-    avg_metrics: Dict[float, Dict[str, float]] = {}
+    # AOT-compile every needed executable concurrently.  Tracing/lowering is
+    # cheap and done here in the calling thread context via .lower(); the
+    # expensive XLA compile happens inside .compile() in the pool.
+    t0 = _time.perf_counter()
+    lowered = []
+    for fns in [teacher_fns] + list(student_fns.values()):
+        for use_cfg in needed_cfg:
+            lowered.append(fns[use_cfg].lower(noises, seeds, gs_example))
+    lowered.append(None)  # placeholder: metrics jit lowered below
+    t_traj_shape = jax.eval_shape(
+        teacher_fns[needed_cfg[0]], noises, seeds, gs_example
+    )
+    keys_example = jax.random.split(jax.random.PRNGKey(base_seed), num_samples)
+    lowered[-1] = _batch_metrics.lower(t_traj_shape, t_traj_shape, keys_example)
+    with concurrent.futures.ThreadPoolExecutor(max_workers=compile_workers) as pool:
+        list(pool.map(lambda lw: lw.compile(), lowered))
+    compile_s = _time.perf_counter() - t0
+    if verbose:
+        print(
+            f"[sweep] compiled {len(lowered)} executables "
+            f"({len(students)} sizes x {len(needed_cfg)} graphs + teacher + "
+            f"metrics) in {compile_s:.1f}s"
+        )
+
+    keys = jax.random.split(jax.random.PRNGKey(base_seed), num_samples)
+    if mesh is not None:
+        keys = jax.device_put(keys, batch_sharding(mesh))
+
+    t0 = _time.perf_counter()
+    results = {sf: {} for sf in students}
     for gs in guidance_scales:
         use_cfg = gs is not None and gs > 1.0
-        t_trajs, s_trajs = pair_fns[use_cfg](noises, seeds, jnp.float32(gs))
-        keys = jax.random.split(jax.random.PRNGKey(base_seed), num_samples)
-        if mesh is not None:
-            keys = jax.device_put(keys, batch_sharding(mesh))
-        metrics = batch_metrics(t_trajs, s_trajs, keys)
-        scalars: Dict[str, float] = {}
-        for k, v in metrics.items():
-            arr = np.asarray(v)
-            if arr.ndim == 1 and arr.shape[0] == num_samples:
-                scalars[k] = float(np.mean(arr))
-        avg_metrics[gs] = scalars
+        gs_arr = jnp.float32(1.0 if gs is None else gs)
+        t_trajs = teacher_fns[use_cfg](noises, seeds, gs_arr)
+        for sf, fns in student_fns.items():
+            s_trajs = fns[use_cfg](noises, seeds, gs_arr)
+            metrics = _batch_metrics(t_trajs, s_trajs, keys)
+            scalars: Dict[str, float] = {}
+            for k, v in metrics.items():
+                arr = np.asarray(v)
+                if arr.ndim == 1 and arr.shape[0] == num_samples:
+                    scalars[k] = float(np.mean(arr))
+            results[sf][gs] = scalars
+    if verbose:
+        n = len(guidance_scales) * len(students) * num_samples
+        dt = _time.perf_counter() - t0
+        print(
+            f"[sweep] generated+scored {n} trajectory pairs in {dt:.1f}s "
+            f"({n / dt:.1f} pairs/s)"
+        )
 
-    return {"teacher_metrics": avg_metrics, "student_metrics": avg_metrics}
+    return {
+        sf: {"teacher_metrics": per_gs, "student_metrics": per_gs}
+        for sf, per_gs in results.items()
+    }
+
+
+def compare_trajectories(
+    teacher_model,
+    student_model,
+    config,
+    guidance_scales: Sequence[float] = (1.0, 3.0, 5.0),
+    size_factor: float = 1.0,
+    num_samples: int = 3,
+    teacher_variables=None,
+    student_variables=None,
+    base_seed: int = 42,
+) -> Dict[str, Dict[float, Dict[str, float]]]:
+    """Compare teacher/student trajectories across guidance scales.
+
+    Reference ``trajectory_engine.py:117-179``: for each of ``num_samples``
+    noise draws (seed = 42+i) and each guidance scale, generate paired
+    trajectories from the *same* noise and average the scalar metrics.
+
+    TPU-native: all samples for a guidance scale run as one vmapped batch;
+    scales >1 share one compiled CFG graph (gs is traced), gs≤1 uses the
+    no-CFG graph — matching the reference's branch at
+    trajectory_engine.py:65-83.  Metrics are computed on device, vmapped
+    across samples, then averaged.  (Multi-size sweeps should prefer
+    :func:`sweep_compare_trajectories`, which shares the teacher chains and
+    overlaps compiles across sizes.)
+
+    Returns ``{"teacher_metrics": {gs: {...}}, "student_metrics": {...}}``
+    (the reference stores the same pair metrics under both keys,
+    trajectory_engine.py:162-164 — preserved).
+    """
+    if teacher_variables is None or student_variables is None:
+        raise ValueError("teacher_variables and student_variables are required")
+
+    out = sweep_compare_trajectories(
+        teacher_model,
+        teacher_variables,
+        {size_factor: (student_model, student_variables)},
+        config,
+        guidance_scales=guidance_scales,
+        num_samples=num_samples,
+        base_seed=base_seed,
+        verbose=False,
+    )
+    return out[size_factor]

@@ -235,7 +235,9 @@ def main():
     args = parse_args()
 
     from distillation_trajectories_tpu import Config
-    from distillation_trajectories_tpu.trajectories import compare_trajectories
+    from distillation_trajectories_tpu.trajectories import (
+        sweep_compare_trajectories,
+    )
 
     config = Config()
     config.timesteps = args.timesteps
@@ -252,25 +254,27 @@ def main():
 
     teacher_model, teacher_vars = load_teacher_from_arg(config, args.teacher_model)
 
-    metrics_by_size = {}
+    students = {}
     for size_factor in size_factors:
         try:
-            student_model, student_vars = load_student(config, size_factor)
+            students[size_factor] = load_student(config, size_factor)
         except FileNotFoundError:
             print(f"Warning: No models found for size factor {size_factor}")
             continue
         print(f"\nProcessing student model with size factor {size_factor}")
         print(f"Computing CFG impact for size factor {size_factor}...")
-        metrics_by_size[size_factor] = compare_trajectories(
-            teacher_model,
-            student_model,
-            config,
-            guidance_scales=guidance_scales,
-            size_factor=size_factor,
-            num_samples=args.num_samples,
-            teacher_variables=teacher_vars,
-            student_variables=student_vars,
-        )
+
+    # One sweep call for all sizes: teacher chains are generated once per
+    # guidance scale, per-size compiles are student-only and overlap in a
+    # compile thread pool (engine.sweep_compare_trajectories docstring).
+    metrics_by_size = sweep_compare_trajectories(
+        teacher_model,
+        teacher_vars,
+        students,
+        config,
+        guidance_scales=guidance_scales,
+        num_samples=args.num_samples,
+    ) if students else {}
 
     if not metrics_by_size:
         print("No student models found; nothing to analyze")

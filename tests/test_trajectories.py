@@ -64,6 +64,57 @@ def test_compare_trajectories_contract(test_config):
     )
 
 
+def test_sweep_matches_paired_path(test_config):
+    """sweep_compare_trajectories (teacher cached once, student-only graphs)
+    reproduces the paired-scan path's metrics for every (size, scale)."""
+    from distillation_trajectories_tpu.trajectories import (
+        sweep_compare_trajectories,
+    )
+    from distillation_trajectories_tpu.trajectories.engine import (
+        make_paired_trajectory_fn,
+        _batch_metrics,
+    )
+
+    teacher, t_vars, student, s_vars = _models(test_config)
+    gs_list = [1.0, 3.0]
+    num_samples = 2
+    out = sweep_compare_trajectories(
+        teacher,
+        t_vars,
+        {0.1: (student, s_vars)},
+        test_config,
+        guidance_scales=gs_list,
+        num_samples=num_samples,
+        verbose=False,
+    )[0.1]
+
+    # Manual per-size reference computation via the paired scan.
+    seeds = np.array([42 + i for i in range(num_samples)], dtype=np.int32)
+    noises = jnp.stack(
+        [
+            jax.random.normal(jax.random.PRNGKey(int(s)), (16, 16, 1))
+            for s in seeds
+        ]
+    )
+    keys = jax.random.split(jax.random.PRNGKey(42), num_samples)
+    for gs in gs_list:
+        pair_fn = make_paired_trajectory_fn(
+            teacher, t_vars, student, s_vars,
+            test_config.timesteps, test_config, use_cfg=gs > 1.0,
+        )
+        t_trajs, s_trajs = pair_fn(noises, jnp.asarray(seeds), jnp.float32(gs))
+        expected = {
+            k: float(np.mean(np.asarray(v)))
+            for k, v in _batch_metrics(t_trajs, s_trajs, keys).items()
+            if np.asarray(v).ndim == 1
+        }
+        for k, v in expected.items():
+            np.testing.assert_allclose(
+                out["student_metrics"][gs][k], v, rtol=1e-5, atol=1e-6,
+                err_msg=f"gs={gs} metric={k}",
+            )
+
+
 def test_manager_roundtrip_and_batch_metrics(test_config):
     teacher, t_vars, student, s_vars = _models(test_config)
     manager = TrajectoryManager(
