@@ -208,7 +208,7 @@ def _sweep_inputs(config, num_samples: int, base_seed: int):
     return noises, seeds, mesh
 
 
-def sweep_compare_trajectories(
+def _sweep_compare_impl(
     teacher_model,
     teacher_variables,
     students,
@@ -244,9 +244,27 @@ def sweep_compare_trajectories(
         :func:`compare_trajectories` returns.
     """
     import concurrent.futures
+    import faulthandler
+    import os as _os
     import time as _time
 
+    # Watchdog: the tunneled TPU backend occasionally drops an RPC and the
+    # call never returns (observed ~1-in-3 sweep runs; bench.py hits the same
+    # flake on single compiles).  A hung C-level call cannot be cancelled
+    # from Python, so if any phase stalls past its deadline dump every
+    # thread's stack and hard-exit — callers (run_full_sweep.py) treat the
+    # non-zero exit as transient and retry.  dump_traceback_later re-arms on
+    # each call; one timer covers the currently active phase.
+    watchdog_s = float(_os.environ.get("DTT_COMPILE_TIMEOUT", "0") or 0)
+
+    def _arm(seconds):
+        # The flake is axon-specific; never arm an exit-timer under the CPU
+        # backend (it would hard-kill a slow-compiling pytest process).
+        if seconds > 0 and jax.default_backend() != "cpu":
+            faulthandler.dump_traceback_later(seconds, exit=True)
+
     timesteps = config.timesteps
+    _arm(watchdog_s or 300.0)  # inputs + tracing
     noises, seeds, mesh = _sweep_inputs(config, num_samples, base_seed)
     gs_example = jnp.float32(1.0)
 
@@ -282,35 +300,59 @@ def sweep_compare_trajectories(
     )
     keys_example = jax.random.split(jax.random.PRNGKey(base_seed), num_samples)
     lowered[-1] = _batch_metrics.lower(t_traj_shape, t_traj_shape, keys_example)
-    with concurrent.futures.ThreadPoolExecutor(max_workers=compile_workers) as pool:
-        list(pool.map(lambda lw: lw.compile(), lowered))
+    def timed_compile(lw):
+        c0 = _time.perf_counter()
+        lw.compile()
+        return _time.perf_counter() - c0
+
+    # Generous compile deadline: slowest observed graph ~30s on chip; allow
+    # a fully serialized pool plus margin.
+    _arm(watchdog_s or max(600.0, 45.0 * len(lowered)))
+    with concurrent.futures.ThreadPoolExecutor(
+        max_workers=compile_workers
+    ) as pool:
+        per_compile = list(pool.map(timed_compile, lowered))
     compile_s = _time.perf_counter() - t0
     if verbose:
+        # sum ≈ wall ⇒ the backend serialized the compiles; sum >> wall ⇒
+        # they genuinely overlapped.
         print(
             f"[sweep] compiled {len(lowered)} executables "
             f"({len(students)} sizes x {len(needed_cfg)} graphs + teacher + "
-            f"metrics) in {compile_s:.1f}s"
+            f"metrics) in {compile_s:.1f}s wall "
+            f"(sum {sum(per_compile):.1f}s, max {max(per_compile):.1f}s, "
+            f"{compile_workers} workers)"
         )
 
     keys = jax.random.split(jax.random.PRNGKey(base_seed), num_samples)
     if mesh is not None:
         keys = jax.device_put(keys, batch_sharding(mesh))
 
+    # Dispatch the whole sweep asynchronously (JAX queues executions) and
+    # fetch every metric scalar in ONE device_get at the end: per-scalar
+    # np.asarray would pay a host↔device round-trip per metric per (size,
+    # scale) — ~1200 tunnel RTTs for the default sweep, which measured ~10x
+    # the actual compute time on the axon-tunneled chip.
+    _arm(watchdog_s or 600.0)  # execution + host fetch
     t0 = _time.perf_counter()
-    results = {sf: {} for sf in students}
+    pending = {sf: {} for sf in students}
     for gs in guidance_scales:
         use_cfg = gs is not None and gs > 1.0
         gs_arr = jnp.float32(1.0 if gs is None else gs)
         t_trajs = teacher_fns[use_cfg](noises, seeds, gs_arr)
         for sf, fns in student_fns.items():
             s_trajs = fns[use_cfg](noises, seeds, gs_arr)
-            metrics = _batch_metrics(t_trajs, s_trajs, keys)
-            scalars: Dict[str, float] = {}
-            for k, v in metrics.items():
-                arr = np.asarray(v)
-                if arr.ndim == 1 and arr.shape[0] == num_samples:
-                    scalars[k] = float(np.mean(arr))
-            results[sf][gs] = scalars
+            pending[sf][gs] = _batch_metrics(t_trajs, s_trajs, keys)
+    host_metrics = jax.device_get(pending)
+    results: Dict[float, Dict[float, Dict[str, float]]] = {}
+    for sf, per_gs in host_metrics.items():
+        results[sf] = {}
+        for gs, metrics in per_gs.items():
+            results[sf][gs] = {
+                k: float(np.mean(v))
+                for k, v in metrics.items()
+                if np.ndim(v) == 1 and np.shape(v)[0] == num_samples
+            }
     if verbose:
         n = len(guidance_scales) * len(students) * num_samples
         dt = _time.perf_counter() - t0
@@ -323,6 +365,39 @@ def sweep_compare_trajectories(
         sf: {"teacher_metrics": per_gs, "student_metrics": per_gs}
         for sf, per_gs in results.items()
     }
+
+
+def sweep_compare_trajectories(
+    teacher_model,
+    teacher_variables,
+    students,
+    config,
+    guidance_scales: Sequence[float] = (1.0, 3.0, 5.0),
+    num_samples: int = 3,
+    base_seed: int = 42,
+    compile_workers: int = 8,
+    verbose: bool = True,
+) -> Dict[float, Dict[str, Dict[float, Dict[str, float]]]]:
+    """Public front door for :func:`_sweep_compare_impl` (see its docstring
+    for the compile-efficiency design).  Guarantees the tunnel-flake
+    watchdog timer is disarmed on every exit path, so an exception mid-sweep
+    cannot leave an exit-timer armed in the calling process."""
+    import faulthandler
+
+    try:
+        return _sweep_compare_impl(
+            teacher_model,
+            teacher_variables,
+            students,
+            config,
+            guidance_scales=guidance_scales,
+            num_samples=num_samples,
+            base_seed=base_seed,
+            compile_workers=compile_workers,
+            verbose=verbose,
+        )
+    finally:
+        faulthandler.cancel_dump_traceback_later()
 
 
 def compare_trajectories(

@@ -232,6 +232,14 @@ def create_composite_radar_plot(metrics_by_size, output_dir, guidance_scales):
 
 
 def main():
+    import time as _time
+
+    t_start = _time.perf_counter()
+
+    def _phase(name, t0):
+        print(f"[timing] {name}: {_time.perf_counter() - t0:.1f}s")
+        return _time.perf_counter()
+
     args = parse_args()
 
     from distillation_trajectories_tpu import Config
@@ -252,6 +260,7 @@ def main():
     size_factors = parse_float_list(args.size_factors)
     guidance_scales = parse_float_list(args.guidance_scales)
 
+    t0 = _phase("imports", t_start)
     teacher_model, teacher_vars = load_teacher_from_arg(config, args.teacher_model)
 
     students = {}
@@ -267,6 +276,7 @@ def main():
     # One sweep call for all sizes: teacher chains are generated once per
     # guidance scale, per-size compiles are student-only and overlap in a
     # compile thread pool (engine.sweep_compare_trajectories docstring).
+    t0 = _phase("checkpoint loading", t0)
     metrics_by_size = sweep_compare_trajectories(
         teacher_model,
         teacher_vars,
@@ -275,6 +285,7 @@ def main():
         guidance_scales=guidance_scales,
         num_samples=args.num_samples,
     ) if students else {}
+    t0 = _phase("trajectory sweep (trace+compile+run)", t0)
 
     if not metrics_by_size:
         print("No student models found; nothing to analyze")
@@ -285,8 +296,10 @@ def main():
     print("\nCreating radar plots...")
     create_radar_plot_grid(metrics_by_size, output_dir, guidance_scales)
     create_composite_radar_plot(metrics_by_size, output_dir, guidance_scales)
+    t0 = _phase("plots", t0)
     print("\nCFG analysis completed")
     print(f"Results saved in {output_dir}")
+    _phase("total", t_start)
 
 
 if __name__ == "__main__":

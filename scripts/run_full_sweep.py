@@ -31,17 +31,35 @@ from _common import project_root  # noqa: E402
 SIZE_FACTORS = "0.01,0.05,0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.75,0.8,0.9,1.0"
 
 
-def run_stage(name, cmd, log_dir):
+def run_stage(name, cmd, log_dir, timeout=None, retries=1):
+    """Run one stage as a subprocess with a hang timeout and retry.
+
+    The tunneled TPU backend occasionally drops an RPC mid-compile and the
+    client call never returns (see engine._sweep_compare_impl watchdog);
+    a timed-out or crashed stage is treated as transient and retried once
+    from scratch before being reported as failed.
+    """
     log_path = os.path.join(log_dir, f"sweep_{name}.log")
     print(f"[sweep] stage {name}: {' '.join(cmd)}")
     print(f"[sweep]   log: {log_path}")
     t0 = time.time()
-    with open(log_path, "w") as log:
-        proc = subprocess.run(
-            cmd, stdout=log, stderr=subprocess.STDOUT, cwd=project_root
-        )
+    ok = False
+    for attempt in range(retries + 1):
+        with open(log_path, "w") as log:
+            try:
+                proc = subprocess.run(
+                    cmd, stdout=log, stderr=subprocess.STDOUT,
+                    cwd=project_root, timeout=timeout,
+                )
+                ok = proc.returncode == 0
+            except subprocess.TimeoutExpired:
+                log.write(f"\n[sweep] stage {name} timed out after {timeout}s\n")
+                ok = False
+        if ok:
+            break
+        if attempt < retries:
+            print(f"[sweep] stage {name} attempt {attempt + 1} failed; retrying")
     dt = time.time() - t0
-    ok = proc.returncode == 0
     print(f"[sweep] stage {name}: {'OK' if ok else 'FAILED'} in {dt:.1f}s")
     if not ok:
         with open(log_path) as f:
@@ -64,6 +82,15 @@ def main():
 
     stages = {}
     t_start = time.time()
+    if args.skip_training:
+        # Carry forward training-stage records from a previous full run so a
+        # cfg-only rerun doesn't erase them from the SWEEP json.
+        prev = os.path.join(project_root, f"SWEEP_{args.tag}.json")
+        if os.path.exists(prev):
+            with open(prev) as f:
+                for k, v in json.load(f).get("stages", {}).items():
+                    if k != "cfg_sweep":
+                        stages[k] = v
     if not args.skip_training:
         stages["teacher"] = run_stage(
             "teacher",
@@ -90,13 +117,18 @@ def main():
         "cfg_sweep",
         [py, "scripts/analysis/analyze_trajectory_metrics.py"],
         log_dir,
+        timeout=1800,
+        retries=2,
     )
     _write(args.tag, stages, t_start, ok=stages["cfg_sweep"]["ok"])
     sys.exit(0 if stages["cfg_sweep"]["ok"] else 1)
 
 
 def _write(tag, stages, t_start, ok):
-    total = time.time() - t_start
+    # Sum of stage wall-clocks (== end-to-end wall for a full run; for a
+    # --skip-training rerun it still reflects the whole workload because
+    # training stages are carried forward from the previous SWEEP json).
+    total = sum(s["seconds"] for s in stages.values())
     # Reference-equivalent estimate for the sweep stage only: the measured
     # reference trajectory rate (.bench_baseline.json, traj/s on this host's
     # CPU) over the sweep's 8 sizes x 10 scales x 10 samples x 2 chains.
@@ -106,6 +138,12 @@ def _write(tag, stages, t_start, ok):
         with open(baseline_path) as f:
             ref_rate = json.load(f).get("ref_traj_per_sec_cpu")
     n_traj = 8 * 10 * 10 * 2
+    # ref_rate is trajectories/s at T=50 (bench.py measures per-step time and
+    # divides by T_STEPS=50); the sweep's chains are T=100, so one sweep
+    # trajectory costs the reference 100/50 = 2x the benched trajectory.
+    t_scale = 100 / 50
+    ref_equiv = round(n_traj * t_scale / ref_rate, 1) if ref_rate else None
+    sweep_s = stages.get("cfg_sweep", {}).get("seconds")
     payload = {
         "tag": tag,
         "ok": ok,
@@ -118,9 +156,10 @@ def _write(tag, stages, t_start, ok):
                          "paired teacher/student chains",
             "n_trajectories_in_sweep": n_traj,
         },
-        "reference_traj_per_s": ref_rate,
-        "reference_equiv_sweep_seconds": (
-            round(n_traj / ref_rate, 1) if ref_rate else None
+        "reference_traj_per_s_T50": ref_rate,
+        "reference_equiv_sweep_seconds": ref_equiv,
+        "sweep_speedup_vs_reference": (
+            round(ref_equiv / sweep_s, 1) if ref_equiv and sweep_s else None
         ),
     }
     out = os.path.join(project_root, f"SWEEP_{tag}.json")
