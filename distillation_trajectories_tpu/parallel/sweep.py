@@ -157,8 +157,9 @@ def distill_students_parallel(
                 )
 
     # End-of-training sample grids (sequential trainer parity,
-    # training/students.py end-of-epoch block).
-    for slot in slots:
+    # training/students.py end-of-epoch block; skipped when
+    # num_samples_to_generate == 0).
+    for slot in slots if config.num_samples_to_generate > 0 else []:
         slot.key, sample_key = jax.random.split(slot.key)
         model_fn = make_eval_model_fn(
             slot.model,

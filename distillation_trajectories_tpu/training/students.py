@@ -169,7 +169,7 @@ def distill_diffusion_model(
                 batch_stats=state.batch_stats,
                 opt_state=state.opt_state,
             )
-            if epoch == config.epochs - 1:
+            if epoch == config.epochs - 1 and config.num_samples_to_generate > 0:
                 # End-of-training sample grid (train_students.py:190-210)
                 key, sample_key = jax.random.split(key)
                 model_fn = make_eval_model_fn(

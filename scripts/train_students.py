@@ -38,6 +38,9 @@ def main():
                         choices=["reference", "ancestral"])
     parser.add_argument("--base_dir", type=str, default=None,
                         help="Override the output root directory")
+    parser.add_argument("--num_samples", type=int, default=None,
+                        help="Samples in the end-of-training grid "
+                        "(0 skips grid generation)")
     add_mesh_flag(parser)
     parser.add_argument("--limit_batches", type=int, default=None,
                         help="Cap batches per epoch (smoke runs)")
@@ -77,6 +80,8 @@ def main():
     apply_mesh_arg(config, args)
     if args.limit_batches is not None:
         config.limit_batches_per_epoch = args.limit_batches
+    if args.num_samples is not None:
+        config.num_samples_to_generate = args.num_samples
     config.create_directories()
 
     custom = None

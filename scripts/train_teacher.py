@@ -39,6 +39,9 @@ def main():
     add_mesh_flag(parser)
     parser.add_argument("--limit_batches", type=int, default=None,
                         help="Cap batches per epoch (smoke runs)")
+    parser.add_argument("--num_samples", type=int, default=None,
+                        help="Samples in the per-save-interval grid "
+                        "(0 skips grid generation)")
     args = parser.parse_args()
 
     from distillation_trajectories_tpu import Config
@@ -69,6 +72,8 @@ def main():
     apply_mesh_arg(config, args)
     if args.limit_batches is not None:
         config.limit_batches_per_epoch = args.limit_batches
+    if args.num_samples is not None:
+        config.num_samples_to_generate = args.num_samples
     config.create_directories()
 
     train_teacher(config, seed=args.seed)

@@ -19,6 +19,20 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA compile cache for the CPU test backend: the suite is pure
+# compile time on this 1-core host, and the cache cuts warm reruns ~3-4x.
+# Safe here because tests never touch the axon TPU plugin (which hangs when
+# serializing large scan executables — CLAUDE.md); the cache loader's
+# "machine feature mismatch" E-lines on stderr are a known false positive
+# for the prefer-no-scatter/gather pseudo-features on the same host.
+_cache_dir = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".xla_test_cache",
+)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -30,7 +30,11 @@ def _tiny_config(tmp_path, **kw):
         timesteps=8,
         epochs=1,
         compute_dtype="float32",
-        num_samples_to_generate=4,
+        # 0 skips the end-of-training sample grid — these tests assert on
+        # checkpoints/shardings, and each grid costs a p_sample_loop compile
+        # on the 1-core CPU suite (the grid path is covered by test_training
+        # and the driver dryrun).
+        num_samples_to_generate=0,
         samples_grid_size=2,
         limit_batches_per_epoch=2,
         base_dir=str(tmp_path),
@@ -140,6 +144,7 @@ def test_train_students_cli_sweep_parallel(tmp_path, monkeypatch):
             "--image_size", "16",
             "--batch_size", "8",
             "--limit_batches", "2",
+            "--num_samples", "0",
             "--sweep_parallel",
             "--base_dir", str(tmp_path),
         ],
