@@ -139,6 +139,105 @@ def exp_paradigms(batch=1):
     return result
 
 
+def exp_ablate(batch=256):
+    """Attribute sampler step time by ablation, all inside on-device scans.
+
+    Single dispatched calls over the axon tunnel cost ~30ms RTT each, and
+    jax.profiler.trace hangs over the tunnel entirely — so every variant is
+    a 49-iteration lax.scan (one dispatch), the same loop shape as the real
+    sampler, and per-step costs come out of differences.  XLA cost_analysis
+    counts the scan *body* once; multiply by the trip count for total FLOPs.
+    """
+    import jax.numpy as jnp
+
+    from distillation_trajectories_tpu.diffusion import generate_trajectory_scan
+    from distillation_trajectories_tpu.diffusion.sampling import engine_update
+    from distillation_trajectories_tpu.models import unet as unet_mod
+
+    cfg, model_fn, dp, noise = _flagship(batch)
+    T = 50
+    b = batch
+    n_steps = T - 1
+    tvec = jnp.full((b,), 25.0)
+    ones = jnp.ones((b, 1))
+    alphas = dp["alphas"]
+
+    seeds = iter(range(100, 400))
+
+    def scan_of(body):
+        def run(x0, s):
+            def step(x, t):
+                return body(x, t, s), ()
+
+            out, _ = jax.lax.scan(
+                step, x0, jnp.arange(n_steps, dtype=jnp.int32)
+            )
+            return out
+
+        return jax.jit(run)
+
+    # A: the real sampler scan.
+    jit_full = jax.jit(
+        lambda s: generate_trajectory_scan(
+            model_fn, noise, T, alphas, s, guidance_scale=3.0
+        )
+    )
+    flops_step = jit_full.lower(jnp.int32(0)).compile().cost_analysis().get(
+        "flops", float("nan")
+    )
+    t_full = _time(lambda: jit_full(jnp.int32(next(seeds))))
+
+    # B: two CFG forwards per step, no update tail / PRNG / storage.
+    def two_fwd(x, t, s):
+        pu = model_fn(x, tvec, jnp.zeros((b, 1)), ones)
+        pc = model_fn(x, tvec, ones, ones)
+        return x + 1e-6 * (pu + 2.0 * pc)  # consume both, keep carry stable
+
+    jit_two = scan_of(two_fwd)
+    t_two = _time(lambda: jit_two(noise, jnp.int32(next(seeds))))
+
+    # C: B with nearest-repeat upsample instead of the interp matmuls.
+    orig = unet_mod.upsample_bilinear_x2
+    try:
+        unet_mod.upsample_bilinear_x2 = lambda x, _factor=2: jnp.repeat(
+            jnp.repeat(x, 2, axis=1), 2, axis=2
+        )
+        jit_two_nou = scan_of(two_fwd)
+        t_two_nou = _time(lambda: jit_two_nou(noise, jnp.int32(next(seeds))))
+    finally:
+        unet_mod.upsample_bilinear_x2 = orig
+
+    # D: update tail only (PRNG fold-in + noise + c1/c2/sigma elementwise).
+    def tail_only(x, t, s):
+        key = jax.random.fold_in(jax.random.PRNGKey(s), t)
+        step_noise = jax.random.normal(key, x.shape, dtype=x.dtype)
+        return engine_update(x, x * 1e-3, step_noise, alphas[t], alphas[t - 1])
+
+    jit_tail = scan_of(tail_only)
+    t_tail = _time(lambda: jit_tail(noise, jnp.int32(next(seeds))))
+
+    peak_bf16 = 197e12  # v5e chip bf16 peak
+    total_flops = flops_step * n_steps
+    result = {
+        "exp": "ablate",
+        "batch": b,
+        "timesteps": T,
+        "full_scan_seconds": round(t_full, 4),
+        "per_step_flops": flops_step,
+        "mfu_vs_bf16_peak": round(total_flops / t_full / peak_bf16, 3),
+        "two_fwd_scan_seconds": round(t_two, 4),
+        "two_fwd_share": round(t_two / t_full, 3),
+        "nearest_upsample_scan_seconds": round(t_two_nou, 4),
+        "upsample_matmul_cost_share": round((t_two - t_two_nou) / t_full, 3),
+        "update_tail_scan_seconds": round(t_tail, 4),
+        "update_tail_share": round(t_tail / t_full, 3),
+        "ms_per_step_full": round(1e3 * t_full / n_steps, 3),
+        "ms_per_step_two_fwd": round(1e3 * t_two / n_steps, 3),
+    }
+    print(json.dumps(result))
+    return result
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--exp", type=str, default="pallas,paradigms")
@@ -149,6 +248,8 @@ def main():
         out["pallas"] = exp_pallas(batch=args.batch or 256)
     if "paradigms" in args.exp:
         out["paradigms"] = exp_paradigms(batch=1)
+    if "ablate" in args.exp:
+        out["ablate"] = exp_ablate(batch=args.batch or 256)
     path = os.path.join(project_root, "output", "results", "bench_r2.json")
     os.makedirs(os.path.dirname(path), exist_ok=True)
     with open(path, "w") as f:
