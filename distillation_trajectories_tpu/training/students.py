@@ -34,7 +34,6 @@ from .checkpoints import (
 from .state import (
     create_train_state,
     make_distill_train_step,
-    make_eval_model_fn,
     make_optimizer,
 )
 
@@ -62,34 +61,21 @@ def print_size_factor_info(size_factors: List[float]) -> None:
             )
 
 
-def distill_diffusion_model(
-    teacher_model,
-    teacher_variables,
-    config,
-    size_factor: float = 1.0,
-    seed: int = 0,
-    log_every: int = 50,
-):
-    """Distill one student of the given size factor from the teacher.
+def _build_student(teacher_model, teacher_variables, config, size_factor, seed):
+    """Everything distillation needs before the first batch: student model +
+    init, train state (mesh-sharded when configured), and the jitted step.
 
-    Reference ``train_students.py:65-212``.  Returns (model, variables).
+    Split out of :func:`distill_diffusion_model` so the sequential sweep can
+    construct all students up front and AOT-compile their train steps
+    concurrently (utils/compile_pool.py).
     """
     key = jax.random.PRNGKey(seed + int(size_factor * 1000))
     key, init_key = jax.random.split(key)
 
     teacher_params_d = get_diffusion_params(config.teacher_steps, config)
-    student_params_d = get_diffusion_params(config.student_steps, config)
 
     student_model = make_unet(config, size_factor=size_factor)
     variables = init_unet(student_model, config, init_key)
-
-    teacher_mb = param_size_mb(teacher_variables["params"])
-    student_mb = param_size_mb(variables["params"])
-    print(f"Teacher model size: {teacher_mb:.2f} MB")
-    print(
-        f"Student model size: {student_mb:.2f} MB "
-        f"({student_mb / teacher_mb:.2%} of teacher)"
-    )
 
     tx = make_optimizer(config)
     state = create_train_state(student_model, variables, tx)
@@ -112,6 +98,81 @@ def distill_diffusion_model(
         teacher_params_d,
         config.teacher_steps,
         config.student_steps,
+    )
+
+    # End-of-training sample-grid loop as a jitted function of the FINAL
+    # params (same avals as the initial state), so the sweep can AOT-compile
+    # it alongside the train step.
+    grid_fn = None
+    if config.num_samples_to_generate > 0:
+        student_params_d = get_diffusion_params(config.student_steps, config)
+        shape = (
+            config.num_samples_to_generate,
+            config.image_size,
+            config.image_size,
+            config.channels,
+        )
+
+        @jax.jit
+        def grid_fn(params, batch_stats, sample_key):
+            def model_fn(x, t, cond=None, cond_mask=None):
+                return student_model.apply(
+                    {"params": params, "batch_stats": batch_stats},
+                    x, t, cond=cond, cond_mask=cond_mask, train=False,
+                )
+
+            return p_sample_loop(
+                model_fn,
+                shape,
+                config.student_steps,
+                student_params_d,
+                sample_key,
+                num_timesteps=config.timesteps,
+                mode=getattr(config, "sample_mode", "reference"),
+            )
+
+    return {
+        "key": key,
+        "model": student_model,
+        "variables": variables,
+        "state": state,
+        "train_step": train_step,
+        "grid_fn": grid_fn,
+        "mesh": mesh,
+    }
+
+
+def distill_diffusion_model(
+    teacher_model,
+    teacher_variables,
+    config,
+    size_factor: float = 1.0,
+    seed: int = 0,
+    log_every: int = 50,
+    _prebuilt: Optional[dict] = None,
+):
+    """Distill one student of the given size factor from the teacher.
+
+    Reference ``train_students.py:65-212``.  Returns (model, variables).
+    ``_prebuilt`` accepts the output of :func:`_build_student` (same
+    size_factor/seed) so a sweep can AOT-compile all steps first.
+    """
+    built = _prebuilt or _build_student(
+        teacher_model, teacher_variables, config, size_factor, seed
+    )
+    key = built["key"]
+    student_model = built["model"]
+    variables = built["variables"]
+    state = built["state"]
+    train_step = built["train_step"]
+    mesh = built["mesh"]
+
+    teacher_mb = param_size_mb(teacher_variables["params"])
+    student_mb = param_size_mb(variables["params"])
+    print(f"Teacher model size: {teacher_mb:.2f} MB")
+    print(
+        f"Student model size: {student_mb:.2f} MB "
+        f"({student_mb / teacher_mb:.2%} of teacher)"
     )
 
     loader = get_data_loader(config, seed=seed)
@@ -172,23 +233,8 @@ def distill_diffusion_model(
             if epoch == config.epochs - 1 and config.num_samples_to_generate > 0:
                 # End-of-training sample grid (train_students.py:190-210)
                 key, sample_key = jax.random.split(key)
-                model_fn = make_eval_model_fn(
-                    student_model,
-                    {"params": state.params, "batch_stats": state.batch_stats},
-                )
-                samples = p_sample_loop(
-                    model_fn,
-                    (
-                        config.num_samples_to_generate,
-                        config.image_size,
-                        config.image_size,
-                        config.channels,
-                    ),
-                    config.student_steps,
-                    student_params_d,
-                    sample_key,
-                    num_timesteps=config.timesteps,
-                    mode=getattr(config, "sample_mode", "reference"),
+                samples = built["grid_fn"](
+                    state.params, state.batch_stats, sample_key
                 )
                 save_image_grid(
                     np.asarray(samples),
@@ -241,6 +287,55 @@ def train_students(
             config, teacher_model, teacher_variables, size_factors, seed=seed
         )
 
+    # Build every student up front and AOT-compile all distill steps in a
+    # thread pool: each size factor is a distinct architecture with its own
+    # ~minutes-long XLA compile, which dominated the sequential sweep's
+    # wall-clock (SWEEP_r02: 13 serial compiles ≈ 80% of the stage).
+    prebuilt: Dict[float, dict] = {}
+    if len(size_factors) > 1 and os.environ.get("DTT_PRECOMPILE", "1") != "0":
+        from ..utils.compile_pool import compile_concurrently
+
+        for size_factor in size_factors:
+            prebuilt[size_factor] = _build_student(
+                teacher_model, teacher_variables, config, size_factor, seed
+            )
+        # Example avals must match execution exactly (shape, dtype, AND
+        # sharding) or the dispatch cache misses and the step recompiles.
+        mesh = next(iter(prebuilt.values()))["mesh"]
+        images_shape = (
+            config.batch_size, config.image_size, config.image_size,
+            config.channels,
+        )
+        if mesh is not None:
+            from ..parallel.mesh import batch_sharding
+
+            images_aval = jax.ShapeDtypeStruct(
+                images_shape, jnp.float32, sharding=batch_sharding(mesh)
+            )
+            key_example = jax.device_put(
+                jax.random.PRNGKey(0), replicated(mesh)
+            )
+        else:
+            images_aval = jax.ShapeDtypeStruct(images_shape, jnp.float32)
+            key_example = jax.random.PRNGKey(0)
+        lowered = [
+            b["train_step"].lower(b["state"], images_aval, key_example)
+            for b in prebuilt.values()
+        ]
+        # Grid keys are plain (uncommitted) at execution time in both the
+        # mesh and single-device paths — lower with a plain key to match.
+        grid_key = jax.random.PRNGKey(0)
+        lowered += [
+            b["grid_fn"].lower(
+                b["state"].params, b["state"].batch_stats, grid_key
+            )
+            for b in prebuilt.values()
+            if b["grid_fn"] is not None
+        ]
+        compile_concurrently(
+            lowered, label=f"distill steps + grids x{len(size_factors)}"
+        )
+
     students: Dict[float, Tuple[object, dict]] = {}
     for size_factor in size_factors:
         print(f"\nDistilling to student model with size factor {size_factor}...")
@@ -250,5 +345,6 @@ def train_students(
             config,
             size_factor=size_factor,
             seed=seed,
+            _prebuilt=prebuilt.get(size_factor),
         )
     return students

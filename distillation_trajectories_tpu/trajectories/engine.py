@@ -243,28 +243,16 @@ def _sweep_compare_impl(
         "student_metrics": {gs: {...}}}}`` — per size, the same structure
         :func:`compare_trajectories` returns.
     """
-    import concurrent.futures
-    import faulthandler
-    import os as _os
     import time as _time
 
-    # Watchdog: the tunneled TPU backend occasionally drops an RPC and the
-    # call never returns (observed ~1-in-3 sweep runs; bench.py hits the same
-    # flake on single compiles).  A hung C-level call cannot be cancelled
-    # from Python, so if any phase stalls past its deadline dump every
-    # thread's stack and hard-exit — callers (run_full_sweep.py) treat the
-    # non-zero exit as transient and retry.  dump_traceback_later re-arms on
-    # each call; one timer covers the currently active phase.
-    watchdog_s = float(_os.environ.get("DTT_COMPILE_TIMEOUT", "0") or 0)
+    from ..utils.compile_pool import arm_watchdog, compile_concurrently
 
-    def _arm(seconds):
-        # The flake is axon-specific; never arm an exit-timer under the CPU
-        # backend (it would hard-kill a slow-compiling pytest process).
-        if seconds > 0 and jax.default_backend() != "cpu":
-            faulthandler.dump_traceback_later(seconds, exit=True)
-
+    # Tunnel-hang watchdog (utils/compile_pool.py): re-armed per phase so a
+    # dropped RPC in any of inputs/tracing, compile, or execution dumps
+    # stacks and exits instead of hanging forever — callers
+    # (run_full_sweep.py) treat the non-zero exit as transient and retry.
     timesteps = config.timesteps
-    _arm(watchdog_s or 300.0)  # inputs + tracing
+    arm_watchdog(300.0)  # inputs + tracing
     noises, seeds, mesh = _sweep_inputs(config, num_samples, base_seed)
     gs_example = jnp.float32(1.0)
 
@@ -288,41 +276,27 @@ def _sweep_compare_impl(
 
     # AOT-compile every needed executable concurrently.  Tracing/lowering is
     # cheap and done here in the calling thread context via .lower(); the
-    # expensive XLA compile happens inside .compile() in the pool.
-    t0 = _time.perf_counter()
+    # expensive XLA compile happens inside the pool.
     lowered = []
     for fns in [teacher_fns] + list(student_fns.values()):
         for use_cfg in needed_cfg:
             lowered.append(fns[use_cfg].lower(noises, seeds, gs_example))
-    lowered.append(None)  # placeholder: metrics jit lowered below
     t_traj_shape = jax.eval_shape(
         teacher_fns[needed_cfg[0]], noises, seeds, gs_example
     )
     keys_example = jax.random.split(jax.random.PRNGKey(base_seed), num_samples)
-    lowered[-1] = _batch_metrics.lower(t_traj_shape, t_traj_shape, keys_example)
-    def timed_compile(lw):
-        c0 = _time.perf_counter()
-        lw.compile()
-        return _time.perf_counter() - c0
-
-    # Generous compile deadline: slowest observed graph ~30s on chip; allow
-    # a fully serialized pool plus margin.
-    _arm(watchdog_s or max(600.0, 45.0 * len(lowered)))
-    with concurrent.futures.ThreadPoolExecutor(
-        max_workers=compile_workers
-    ) as pool:
-        per_compile = list(pool.map(timed_compile, lowered))
-    compile_s = _time.perf_counter() - t0
-    if verbose:
-        # sum ≈ wall ⇒ the backend serialized the compiles; sum >> wall ⇒
-        # they genuinely overlapped.
-        print(
-            f"[sweep] compiled {len(lowered)} executables "
-            f"({len(students)} sizes x {len(needed_cfg)} graphs + teacher + "
-            f"metrics) in {compile_s:.1f}s wall "
-            f"(sum {sum(per_compile):.1f}s, max {max(per_compile):.1f}s, "
-            f"{compile_workers} workers)"
-        )
+    lowered.append(
+        _batch_metrics.lower(t_traj_shape, t_traj_shape, keys_example)
+    )
+    compile_concurrently(
+        lowered,
+        workers=compile_workers,
+        label=(
+            f"sweep ({len(students)} sizes x {len(needed_cfg)} graphs "
+            f"+ teacher + metrics)"
+        ),
+        verbose=verbose,
+    )
 
     keys = jax.random.split(jax.random.PRNGKey(base_seed), num_samples)
     if mesh is not None:
@@ -333,7 +307,7 @@ def _sweep_compare_impl(
     # np.asarray would pay a host↔device round-trip per metric per (size,
     # scale) — ~1200 tunnel RTTs for the default sweep, which measured ~10x
     # the actual compute time on the axon-tunneled chip.
-    _arm(watchdog_s or 600.0)  # execution + host fetch
+    arm_watchdog(600.0)  # execution + host fetch
     t0 = _time.perf_counter()
     pending = {sf: {} for sf in students}
     for gs in guidance_scales:
@@ -382,7 +356,7 @@ def sweep_compare_trajectories(
     for the compile-efficiency design).  Guarantees the tunnel-flake
     watchdog timer is disarmed on every exit path, so an exception mid-sweep
     cannot leave an exit-timer armed in the calling process."""
-    import faulthandler
+    from ..utils.compile_pool import cancel_watchdog
 
     try:
         return _sweep_compare_impl(
@@ -397,7 +371,7 @@ def sweep_compare_trajectories(
             verbose=verbose,
         )
     finally:
-        faulthandler.cancel_dump_traceback_later()
+        cancel_watchdog()
 
 
 def compare_trajectories(

@@ -1,0 +1,79 @@
+"""Concurrent AOT compilation of lowered jax computations.
+
+XLA compilation releases the GIL and (on the axon backend) runs server-side,
+so dispatching ``Lowered.compile()`` calls from a thread pool overlaps them
+~3-4x in practice (measured in PERFORMANCE.md).  The compiled executables
+land in the same pjit dispatch cache the normal ``jit`` call path uses, so
+subsequent calls with matching avals execute without recompiling.
+
+Includes the tunnel-hang watchdog: the tunneled TPU backend occasionally
+drops an RPC and the client call never returns; a hung C-level call cannot
+be cancelled from Python, so after the deadline every thread's stack is
+dumped and the process hard-exits — callers at the process level (e.g.
+scripts/run_full_sweep.py stages) treat that as transient and retry.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures
+import faulthandler
+import os
+import time
+from typing import List, Sequence
+
+import jax
+
+
+def arm_watchdog(seconds: float) -> None:
+    """Arm (or re-arm) the hang watchdog for the current phase.
+
+    No-op under the CPU backend — the flake is axon-specific, and an
+    exit-timer would hard-kill slow-compiling pytest processes.  Honors
+    ``DTT_COMPILE_TIMEOUT`` as an override for every phase.
+    """
+    override = float(os.environ.get("DTT_COMPILE_TIMEOUT", "0") or 0)
+    seconds = override or seconds
+    if seconds > 0 and jax.default_backend() != "cpu":
+        faulthandler.dump_traceback_later(seconds, exit=True)
+
+
+def cancel_watchdog() -> None:
+    faulthandler.cancel_dump_traceback_later()
+
+
+def compile_concurrently(
+    lowered: Sequence,
+    workers: int = 8,
+    label: str = "",
+    verbose: bool = True,
+) -> List[float]:
+    """Compile ``Lowered`` objects in a thread pool; returns per-item seconds.
+
+    The watchdog is armed for the pool's duration and cancelled on every
+    exit path; the deadline allows a fully serialized pool plus margin.
+    """
+    if not lowered:
+        return []
+    t0 = time.perf_counter()
+
+    def timed_compile(lw):
+        c0 = time.perf_counter()
+        lw.compile()
+        return time.perf_counter() - c0
+
+    arm_watchdog(max(600.0, 45.0 * len(lowered)))
+    try:
+        with concurrent.futures.ThreadPoolExecutor(max_workers=workers) as pool:
+            per = list(pool.map(timed_compile, lowered))
+    finally:
+        cancel_watchdog()
+    if verbose:
+        # sum ≈ wall ⇒ the backend serialized the compiles; sum >> wall ⇒
+        # they genuinely overlapped.
+        wall = time.perf_counter() - t0
+        print(
+            f"[compile-pool] {label or 'compiled'}: {len(per)} executables "
+            f"in {wall:.1f}s wall (sum {sum(per):.1f}s, max {max(per):.1f}s, "
+            f"{workers} workers)"
+        )
+    return per

@@ -112,6 +112,51 @@ def test_sweep_parallel_matches_sequential(tmp_path):
 
 
 @pytest.mark.slow
+def test_train_students_sequential_precompiles(tmp_path, capsys):
+    """Multi-student sequential sweep AOT-compiles all distill steps up
+    front (compile pool) and produces the same per-student results as a
+    direct distill_diffusion_model call."""
+    from distillation_trajectories_tpu.training import save_checkpoint
+    from distillation_trajectories_tpu.training.students import (
+        distill_diffusion_model,
+        train_students,
+    )
+
+    cfg = _tiny_config(tmp_path)
+    # load_teacher builds size_factor=1.0 (reference contract), so the
+    # checkpoint must be a full-size teacher.
+    teacher = make_unet(cfg, size_factor=1.0)
+    teacher_vars = init_unet(teacher, cfg, jax.random.PRNGKey(7))
+    save_checkpoint(
+        cfg.teacher_models_dir,
+        1,
+        teacher_vars["params"],
+        batch_stats=teacher_vars["batch_stats"],
+    )
+
+    students = train_students(cfg, custom_size_factors=[0.25, 0.1], seed=0)
+    out = capsys.readouterr().out
+    assert "[compile-pool] distill steps + grids x2" in out
+    assert set(students) == {0.25, 0.1}
+    for sf in (0.25, 0.1):
+        assert os.path.exists(
+            os.path.join(cfg.student_dir(sf), "model_epoch_1.msgpack")
+        )
+
+    # Same results as the unbatched trainer (same RNG stream and batches).
+    cfg_direct = _tiny_config(tmp_path / "direct")
+    _, direct_vars = distill_diffusion_model(
+        teacher, teacher_vars, cfg_direct, size_factor=0.25, seed=0
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(students[0.25][1]["params"]),
+        jax.tree_util.tree_leaves(direct_vars["params"]),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+
+
+@pytest.mark.slow
 def test_train_students_cli_sweep_parallel(tmp_path, monkeypatch):
     """The CLI path: --sweep_parallel --mesh over the virtual devices."""
     from distillation_trajectories_tpu.training import save_checkpoint
