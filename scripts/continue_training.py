@@ -23,13 +23,20 @@ def main():
     parser.add_argument("--dataset", type=str, default=None,
                         choices=["MNIST", "CIFAR10"])
     parser.add_argument("--image_size", type=int, default=None)
+    parser.add_argument("--base_dir", type=str, default=None,
+                        help="Override the output root directory")
+    parser.add_argument("--limit_batches", type=int, default=None,
+                        help="Cap batches per epoch (smoke runs)")
+    parser.add_argument("--num_samples", type=int, default=None,
+                        help="Samples in the per-save-interval grid "
+                        "(0 skips grid generation)")
     add_mesh_flag(parser)
     args = parser.parse_args()
 
     from distillation_trajectories_tpu import Config
     from distillation_trajectories_tpu.training import continue_training
 
-    config = Config()
+    config = Config(base_dir=args.base_dir) if args.base_dir else Config()
     config.epochs = args.epochs
     if args.timesteps is not None:
         config.timesteps = args.timesteps
@@ -41,6 +48,10 @@ def main():
     if args.image_size is not None:
         config.image_size = args.image_size
     apply_mesh_arg(config, args)
+    if args.limit_batches is not None:
+        config.limit_batches_per_epoch = args.limit_batches
+    if args.num_samples is not None:
+        config.num_samples_to_generate = args.num_samples
     config.create_directories()
 
     print(f"Starting from epoch: {args.start_epoch}")
