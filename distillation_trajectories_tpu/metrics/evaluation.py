@@ -48,6 +48,10 @@ def compute_lpips(images1, images2, weights_path: Optional[str] = None) -> List[
         import torch
 
         if "torch" not in _LPIPS_CACHE:
+            # lpips.LPIPS(net="alex") downloads the torchvision backbone on
+            # first construction — in a no-egress environment that raises a
+            # URLError/RuntimeError, not ImportError, so catch broadly and
+            # fall through to the Flax backend.
             _LPIPS_CACHE["torch"] = lpips.LPIPS(net="alex")
         loss_fn = _LPIPS_CACHE["torch"]
 
@@ -65,12 +69,18 @@ def compute_lpips(images1, images2, weights_path: Optional[str] = None) -> List[
         return [float(v) for v in d.reshape(-1)]
     except ImportError:
         pass
+    except Exception as e:
+        print(f"Warning: lpips package backend unavailable ({e}); "
+              "trying the Flax backend")
 
     from .lpips import create_lpips
 
-    if "flax" not in _LPIPS_CACHE:
-        _LPIPS_CACHE["flax"] = create_lpips(weights_path)
-    scorer, pretrained = _LPIPS_CACHE["flax"]
+    # Cache keyed on the effective weights path so a first call without
+    # weights does not permanently pin the placeholder scorer.
+    flax_key = ("flax", weights_path)
+    if flax_key not in _LPIPS_CACHE:
+        _LPIPS_CACHE[flax_key] = create_lpips(weights_path)
+    scorer, pretrained = _LPIPS_CACHE[flax_key]
     if pretrained:
         if x.ndim == 3:
             x, y = x[..., None], y[..., None]

@@ -31,10 +31,17 @@ import numpy as np
 _SHIFT = np.array([-0.030, -0.088, -0.188], dtype=np.float32)
 _SCALE = np.array([0.458, 0.448, 0.450], dtype=np.float32)
 
-_WEIGHTS_SEARCH_PATHS = [
-    os.environ.get("LPIPS_WEIGHTS", ""),
-    "/root/repo/weights/lpips_alex.npz",
-]
+def _weights_search_paths():
+    """Candidate weight files, resolved at call time (so LPIPS_WEIGHTS set
+    after import is honored) and relative to this checkout (so weights/
+    works from any clone location, per weights/README.md)."""
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    return [
+        os.environ.get("LPIPS_WEIGHTS", ""),
+        os.path.join(repo_root, "weights", "lpips_alex.npz"),
+    ]
 
 # torchvision alexnet `features` conv layers: (out_ch, kernel, stride, pad)
 # at state-dict indices 0, 3, 6, 8, 10; relu taps feed the 5 LPIPS heads.
@@ -148,7 +155,7 @@ def create_lpips(
     """
     model = AlexFeatures()
     variables = model.init(jax.random.PRNGKey(seed), jnp.zeros((1, 64, 64, 3)))
-    for path in [weights_path] if weights_path else _WEIGHTS_SEARCH_PATHS:
+    for path in [weights_path] if weights_path else _weights_search_paths():
         if path and os.path.exists(path):
             try:
                 variables, lin = load_lpips_weights(path, variables)

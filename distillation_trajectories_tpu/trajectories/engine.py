@@ -62,6 +62,12 @@ def generate_trajectory(
     if config is not None and getattr(config, "parallel_sampling", "off") == "window":
         from ..diffusion.parallel_sampling import sliding_window_trajectory
 
+        if getattr(config, "pallas_cfg_update", False):
+            print(
+                "[engine] parallel_sampling='window' has no Pallas update "
+                "path; pallas_cfg_update is ignored for this trajectory"
+            )
+
         traj, _ = sliding_window_trajectory(
             model_fn,
             jnp.asarray(noise),
@@ -277,30 +283,32 @@ def _sweep_compare_impl(
     # AOT-compile every needed executable concurrently.  Tracing/lowering is
     # cheap and done here in the calling thread context via .lower(); the
     # expensive XLA compile happens inside the pool.
+    keys = jax.random.split(jax.random.PRNGKey(base_seed), num_samples)
+    if mesh is not None:
+        keys = jax.device_put(keys, batch_sharding(mesh))
+
     lowered = []
     for fns in [teacher_fns] + list(student_fns.values()):
         for use_cfg in needed_cfg:
             lowered.append(fns[use_cfg].lower(noises, seeds, gs_example))
-    t_traj_shape = jax.eval_shape(
-        teacher_fns[needed_cfg[0]], noises, seeds, gs_example
-    )
-    keys_example = jax.random.split(jax.random.PRNGKey(base_seed), num_samples)
-    lowered.append(
-        _batch_metrics.lower(t_traj_shape, t_traj_shape, keys_example)
-    )
+    if mesh is None:
+        # eval_shape avals carry no shardings, so an AOT metrics compile
+        # would miss the dispatch cache under a mesh (the executed call sees
+        # sharded trajectories) — only pre-compile it in the single-device
+        # case and let the one mesh-case compile happen at first execution.
+        t_traj_shape = jax.eval_shape(
+            teacher_fns[needed_cfg[0]], noises, seeds, gs_example
+        )
+        lowered.append(_batch_metrics.lower(t_traj_shape, t_traj_shape, keys))
     compile_concurrently(
         lowered,
         workers=compile_workers,
         label=(
             f"sweep ({len(students)} sizes x {len(needed_cfg)} graphs "
-            f"+ teacher + metrics)"
+            f"+ teacher{' + metrics' if mesh is None else ''})"
         ),
         verbose=verbose,
     )
-
-    keys = jax.random.split(jax.random.PRNGKey(base_seed), num_samples)
-    if mesh is not None:
-        keys = jax.device_put(keys, batch_sharding(mesh))
 
     # Dispatch the whole sweep asynchronously (JAX queues executions) and
     # fetch every metric scalar in ONE device_get at the end: per-scalar

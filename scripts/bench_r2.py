@@ -40,16 +40,23 @@ def _flagship(batch):
     return cfg, model_fn, dp, noise
 
 
+def _host_read(out):
+    """Hard barrier: a host read of a small slice that depends on the full
+    computation — block_until_ready alone can return early through the axon
+    tunnel (bench.py measurement-integrity notes)."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return np.asarray(leaf.reshape(-1)[:4])
+
+
 def _time(fn, *args, warmup=1, iters=5):
-    """Median wall-clock with fresh-output barriers (bench.py conventions)."""
+    """Median wall-clock with host-read barriers (bench.py conventions)."""
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+        _host_read(fn(*args))
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        out = jax.block_until_ready(fn(*args))
+        _host_read(fn(*args))
         times.append(time.perf_counter() - t0)
-        del out
     return float(np.median(times))
 
 
