@@ -49,6 +49,10 @@ def parse_args():
                         help="Directory to save analysis results")
     parser.add_argument("--dataset", type=str, default=None)
     parser.add_argument("--image_size", type=int, default=None)
+    parser.add_argument("--num_channels", type=int, default=None)
+    parser.add_argument("--base_dir", type=str, default=None,
+                        help="Override the output root directory "
+                        "(checkpoints are read from <base_dir>/output/models)")
     return parser.parse_args()
 
 
@@ -247,14 +251,20 @@ def main():
         sweep_compare_trajectories,
     )
 
-    config = Config()
+    config = Config(base_dir=args.base_dir) if args.base_dir else Config()
     config.timesteps = args.timesteps
     if args.dataset:
         config.dataset = args.dataset
     if args.image_size:
         config.image_size = args.image_size
+    if args.num_channels:
+        config.channels = args.num_channels
 
-    output_dir = os.path.join(project_root, args.output_dir)
+    output_dir = (
+        args.output_dir
+        if os.path.isabs(args.output_dir)
+        else os.path.join(project_root, args.output_dir)
+    )
     os.makedirs(output_dir, exist_ok=True)
 
     size_factors = parse_float_list(args.size_factors)

@@ -41,6 +41,51 @@ def _fake_metrics_by_size(size_factors, guidance_scales, rng):
     return out
 
 
+import pytest
+
+
+@pytest.mark.slow
+def test_cfg_sweep_cli_end_to_end(tmp_path, monkeypatch):
+    """The flagship CLI main(): checkpoints -> sweep engine -> artifacts."""
+    import jax
+
+    from distillation_trajectories_tpu import Config
+    from distillation_trajectories_tpu.models import make_unet, init_unet
+    from distillation_trajectories_tpu.training import save_checkpoint
+
+    cfg = Config(
+        dataset="MNIST", image_size=16, channels=1, batch_size=8,
+        sample_steps=8, timesteps=8, compute_dtype="float32",
+        base_dir=str(tmp_path),
+    )
+    cfg.create_directories()
+    teacher = make_unet(cfg, size_factor=1.0)
+    tvars = init_unet(teacher, cfg, jax.random.PRNGKey(0))
+    save_checkpoint(cfg.teacher_models_dir, 1, tvars["params"],
+                    batch_stats=tvars["batch_stats"])
+    student = make_unet(cfg, size_factor=0.25)
+    svars = init_unet(student, cfg, jax.random.PRNGKey(1))
+    save_checkpoint(cfg.student_dir(0.25), 1, svars["params"],
+                    batch_stats=svars["batch_stats"])
+
+    out_dir = tmp_path / "heatmaps"
+    monkeypatch.setattr(sys, "argv", [
+        "analyze_trajectory_metrics.py",
+        "--size_factors", "0.25",
+        "--guidance_scales", "1.0,3.0",
+        "--timesteps", "8",
+        "--num_samples", "2",
+        "--dataset", "MNIST",
+        "--image_size", "16",
+        "--num_channels", "1",
+        "--base_dir", str(tmp_path),
+        "--output_dir", str(out_dir),
+    ])
+    _load_cli().main()
+    for name in ("cfg_heatmap_combined.png", "radar_plots_gs_1.0.png"):
+        assert os.path.exists(os.path.join(str(out_dir), name)), name
+
+
 def test_cfg_sweep_plot_contract(tmp_path):
     cli = _load_cli()
     rng = np.random.default_rng(0)
