@@ -333,7 +333,11 @@ def train_students(
             if b["grid_fn"] is not None
         ]
         compile_concurrently(
-            lowered, label=f"distill steps + grids x{len(size_factors)}"
+            lowered,
+            label=f"distill steps + grids x{len(size_factors)}",
+            # Train-step graphs compile in minutes (vs ~30s trajectory
+            # scans); budget the hang deadline accordingly.
+            per_item_budget=400.0,
         )
 
     students: Dict[float, Tuple[object, dict]] = {}

@@ -46,11 +46,14 @@ def compile_concurrently(
     workers: int = 8,
     label: str = "",
     verbose: bool = True,
+    per_item_budget: float = 45.0,
 ) -> List[float]:
     """Compile ``Lowered`` objects in a thread pool; returns per-item seconds.
 
     The watchdog is armed for the pool's duration and cancelled on every
     exit path; the deadline allows a fully serialized pool plus margin.
+    ``per_item_budget`` sizes the deadline per graph: ~45s fits trajectory
+    scans; full train-step graphs compile in minutes and need ~400s.
     """
     if not lowered:
         return []
@@ -61,7 +64,7 @@ def compile_concurrently(
         lw.compile()
         return time.perf_counter() - c0
 
-    arm_watchdog(max(600.0, 45.0 * len(lowered)))
+    arm_watchdog(max(600.0, per_item_budget * len(lowered)))
     try:
         with concurrent.futures.ThreadPoolExecutor(max_workers=workers) as pool:
             per = list(pool.map(timed_compile, lowered))
