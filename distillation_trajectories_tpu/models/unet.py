@@ -357,14 +357,27 @@ def make_unet(config, size_factor: float = 1.0) -> DiffusionUNet:
 
 
 def init_unet(model: DiffusionUNet, config, key: jax.Array):
-    """Initialize params + batch_stats for a U-Net."""
+    """Initialize params + batch_stats for a U-Net.
+
+    On an accelerator backend the init is jitted: eager ``model.init``
+    dispatches every initializer as its own device op — measured 81s for
+    the sf=1.0 model over the tunneled TPU (hundreds of RTTs) vs 9s for
+    one compiled graph.  On CPU eager is faster (no per-op RTT, and the
+    test suite would pay a compile per architecture), so it stays eager.
+    """
     x = jnp.zeros((1, config.image_size, config.image_size, config.channels))
     t = jnp.zeros((1,), dtype=jnp.float32)
     cond = jnp.zeros((1, 1))
-    variables = model.init(
-        {"params": key}, x, t, cond=cond, cond_mask=jnp.zeros((1, 1)), train=False
-    )
-    return variables
+
+    def init(k):
+        return model.init(
+            {"params": k}, x, t, cond=cond, cond_mask=jnp.zeros((1, 1)),
+            train=False,
+        )
+
+    if jax.default_backend() != "cpu":
+        init = jax.jit(init)
+    return init(key)
 
 
 def param_count(params) -> int:

@@ -113,6 +113,9 @@ def distill_students_parallel(
     metrics_log = MetricsLogger(
         os.path.join(config.results_dir, "sweep_parallel_metrics.jsonl")
     )
+    from ..training.checkpoints import AsyncCheckpointWriter
+
+    ckpt_writer = AsyncCheckpointWriter()
 
     for epoch in range(config.epochs):
         t0 = time.time()
@@ -148,7 +151,7 @@ def distill_students_parallel(
 
         if (epoch + 1) % config.save_interval == 0 or epoch == config.epochs - 1:
             for slot in slots:
-                save_checkpoint(
+                ckpt_writer.save(
                     config.student_dir(slot.size_factor),
                     epoch + 1,
                     slot.state.params,
@@ -190,6 +193,7 @@ def distill_students_parallel(
         )
 
     metrics_log.close()
+    ckpt_writer.close()
     return {
         slot.size_factor: (
             slot.model,

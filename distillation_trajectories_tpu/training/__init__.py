@@ -8,6 +8,7 @@ from .state import (
     make_distill_train_step,
 )
 from .checkpoints import (
+    AsyncCheckpointWriter,
     save_checkpoint,
     load_checkpoint,
     latest_epoch,

@@ -27,9 +27,12 @@ CKPT_RE = re.compile(r"model_epoch_(\d+)\.(msgpack|pt)$")
 
 def _to_numpy(tree):
     # to_state_dict converts NamedTuple optimizer states (optax) into plain
-    # dicts so the whole payload is msgpack-serializable.
+    # dicts so the whole payload is msgpack-serializable.  One device_get
+    # for the whole tree: per-leaf np.asarray pays a device->host round
+    # trip per leaf (hundreds per checkpoint), which dominated save time on
+    # the tunneled TPU backend.
     tree = serialization.to_state_dict(tree)
-    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+    return jax.device_get(tree)
 
 
 def checkpoint_path(directory: str, epoch: int) -> str:
@@ -57,9 +60,86 @@ def save_checkpoint(
     if extra:
         payload["extra"] = extra
     path = checkpoint_path(directory, epoch)
-    with open(path, "wb") as f:
+    # tmp + atomic rename: latest-epoch discovery parses filenames, so a
+    # half-written file must never be visible under its final name.
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
         f.write(serialization.msgpack_serialize(payload))
+    os.replace(tmp, path)
     return path
+
+
+class AsyncCheckpointWriter:
+    """Overlap checkpoint host-fetch + serialization with training.
+
+    A full train-state checkpoint is ~120 MB for the sf=1.0 model; fetching
+    it over the tunneled TPU backend takes ~10 s (plus a one-time ~200 s
+    transfer-path warmup), and the reference-parity save_interval=1 means
+    one save per epoch — synchronous saves measured as a top-3 cost of the
+    student sweep.  ``save()`` snapshots the arrays with ONE on-device copy
+    (donation-safe: the caller's train step donates its state, so the
+    original buffers die at the next step) and hands fetch+serialize+write
+    to a background pool.  ``flush()`` joins and re-raises the first error.
+    """
+
+    def __init__(self, max_workers: int = 2):
+        import concurrent.futures
+
+        self._pool = concurrent.futures.ThreadPoolExecutor(
+            max_workers=max_workers, thread_name_prefix="ckpt"
+        )
+        self._futures = []
+
+    @staticmethod
+    @jax.jit
+    def _device_copy(tree):
+        import jax.numpy as jnp
+
+        return jax.tree_util.tree_map(jnp.copy, tree)
+
+    def save(
+        self,
+        directory: str,
+        epoch: int,
+        params: Any,
+        batch_stats: Any = None,
+        opt_state: Any = None,
+        ema_params: Any = None,
+        extra: Optional[Dict[str, Any]] = None,
+    ) -> None:
+        tree = {"params": params}
+        if batch_stats is not None:
+            tree["batch_stats"] = batch_stats
+        if opt_state is not None:
+            tree["opt_state"] = serialization.to_state_dict(opt_state)
+        if ema_params is not None:
+            tree["ema_params"] = ema_params
+        snapshot = self._device_copy(tree)
+
+        def write():
+            host = jax.device_get(serialization.to_state_dict(snapshot))
+            payload = {"epoch": epoch, **host}
+            if extra:
+                payload["extra"] = extra
+            os.makedirs(directory, exist_ok=True)
+            path = checkpoint_path(directory, epoch)
+            tmp = path + ".tmp"
+            with open(tmp, "wb") as f:
+                f.write(serialization.msgpack_serialize(payload))
+            os.replace(tmp, path)
+            return path
+
+        self._futures.append(self._pool.submit(write))
+
+    def flush(self) -> None:
+        """Wait for all pending saves; raise the first failure."""
+        futures, self._futures = self._futures, []
+        for fut in futures:
+            fut.result()
+
+    def close(self) -> None:
+        self.flush()
+        self._pool.shutdown(wait=True)
 
 
 def available_epochs(directory: str):

@@ -20,7 +20,7 @@ from ..diffusion import get_diffusion_params
 from ..models import make_unet
 from ..parallel import mesh_from_config, shard_batch, shard_train_state
 from ..parallel.mesh import replicated
-from .checkpoints import load_checkpoint, save_checkpoint
+from .checkpoints import AsyncCheckpointWriter, load_checkpoint, save_checkpoint
 from .state import (
     TrainState,
     create_train_state,
@@ -64,11 +64,13 @@ def continue_training(config, start_epoch: int, seed: int = 0, log_every: int = 
     diffusion_params = get_diffusion_params(config.timesteps, config)
     train_step = make_teacher_train_step(model, tx, diffusion_params, config.timesteps)
     loader = get_data_loader(config, seed=seed + start_epoch)
+    ckpt_writer = AsyncCheckpointWriter()
 
     for i in range(config.epochs):
         epoch = start_epoch + i
         t0 = time.time()
-        total_loss, n_batches = 0.0, 0
+        # Device-side loss accumulation (see training/teacher.py epoch loop).
+        losses = []
         for batch_idx, (images, _) in enumerate(loader):
             if (
                 config.limit_batches_per_epoch is not None
@@ -82,19 +84,20 @@ def continue_training(config, start_epoch: int, seed: int = 0, log_every: int = 
             else:
                 images = jnp.asarray(images)
             state, loss = train_step(state, images, step_key)
-            total_loss += float(loss)
-            n_batches += 1
+            losses.append(loss)
             if log_every and (batch_idx + 1) % log_every == 0:
                 print(
                     f"[continue] epoch {epoch + 1} batch {batch_idx + 1}/"
-                    f"{len(loader)} loss {total_loss / n_batches:.5f}"
+                    f"{len(loader)} loss "
+                    f"{float(np.mean(jax.device_get(losses))):.5f}"
                 )
+        avg_loss = float(np.mean(jax.device_get(losses))) if losses else 0.0
         print(
             f"[continue] epoch {epoch + 1} avg loss "
-            f"{total_loss / max(n_batches, 1):.5f} ({time.time() - t0:.1f}s)"
+            f"{avg_loss:.5f} ({time.time() - t0:.1f}s)"
         )
         if (epoch + 1) % config.save_interval == 0 or i == config.epochs - 1:
-            save_checkpoint(
+            ckpt_writer.save(
                 config.teacher_models_dir,
                 epoch + 1,
                 state.params,
@@ -111,4 +114,5 @@ def continue_training(config, start_epoch: int, seed: int = 0, log_every: int = 
                 os.path.join(config.results_dir, f"samples_epoch_{epoch + 1}.png"),
             )
 
+    ckpt_writer.close()
     return model, {"params": state.params, "batch_stats": state.batch_stats}

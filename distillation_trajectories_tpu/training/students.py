@@ -26,6 +26,7 @@ from ..utils.profiling import MetricsLogger, phase_timer
 from ..utils.viz import save_image_grid
 from .teacher import _progress
 from .checkpoints import (
+    AsyncCheckpointWriter,
     latest_epoch,
     load_checkpoint,
     save_checkpoint,
@@ -150,13 +151,18 @@ def distill_diffusion_model(
     seed: int = 0,
     log_every: int = 50,
     _prebuilt: Optional[dict] = None,
+    ckpt_writer: Optional[AsyncCheckpointWriter] = None,
 ):
     """Distill one student of the given size factor from the teacher.
 
     Reference ``train_students.py:65-212``.  Returns (model, variables).
     ``_prebuilt`` accepts the output of :func:`_build_student` (same
-    size_factor/seed) so a sweep can AOT-compile all steps first.
+    size_factor/seed) so a sweep can AOT-compile all steps first;
+    ``ckpt_writer`` lets a sweep share one async checkpoint writer so saves
+    from student *i* overlap student *i+1*'s training.
     """
+    own_writer = ckpt_writer is None
+    writer = ckpt_writer or AsyncCheckpointWriter()
     built = _prebuilt or _build_student(
         teacher_model, teacher_variables, config, size_factor, seed
     )
@@ -182,7 +188,9 @@ def distill_diffusion_model(
 
     for epoch in range(config.epochs):
         t0 = time.time()
-        total_loss, n_batches = 0.0, 0
+        # Device-side loss accumulation: a float(loss) per step costs one
+        # tunnel RTT per batch and blocks async dispatch pipelining.
+        losses = []
         progress = _progress(
             loader, f"Distillation Epoch {epoch + 1}/{config.epochs}", config
         )
@@ -200,17 +208,19 @@ def distill_diffusion_model(
                 else:
                     images = jnp.asarray(images)
                 state, loss = train_step(state, images, step_key)
-                total_loss += float(loss)
-                n_batches += 1
-                if hasattr(progress, "set_postfix"):
-                    progress.set_postfix(loss=total_loss / n_batches)
-                elif log_every and (batch_idx + 1) % log_every == 0:
-                    print(
-                        f"[distill sf={size_factor}] epoch {epoch + 1} "
-                        f"batch {batch_idx + 1}/{len(loader)} "
-                        f"loss {total_loss / n_batches:.6f}"
-                    )
-        avg_loss = total_loss / max(n_batches, 1)
+                losses.append(loss)
+                if log_every and (batch_idx + 1) % log_every == 0:
+                    running = float(np.mean(jax.device_get(losses)))
+                    if hasattr(progress, "set_postfix"):
+                        progress.set_postfix(loss=running)
+                    else:
+                        print(
+                            f"[distill sf={size_factor}] epoch {epoch + 1} "
+                            f"batch {batch_idx + 1}/{len(loader)} "
+                            f"loss {running:.6f}"
+                        )
+        n_batches = len(losses)
+        avg_loss = float(np.mean(jax.device_get(losses))) if losses else 0.0
         print(
             f"[distill sf={size_factor}] epoch {epoch + 1}/{config.epochs} "
             f"avg loss {avg_loss:.6f} "
@@ -223,7 +233,7 @@ def distill_diffusion_model(
 
         if (epoch + 1) % config.save_interval == 0 or epoch == config.epochs - 1:
             size_dir = config.student_dir(size_factor)
-            save_checkpoint(
+            writer.save(
                 size_dir,
                 epoch + 1,
                 state.params,
@@ -247,6 +257,8 @@ def distill_diffusion_model(
                 )
 
     metrics_log.close()
+    if own_writer:
+        writer.close()
     return student_model, {"params": state.params, "batch_stats": state.batch_stats}
 
 
@@ -341,14 +353,23 @@ def train_students(
         )
 
     students: Dict[float, Tuple[object, dict]] = {}
-    for size_factor in size_factors:
-        print(f"\nDistilling to student model with size factor {size_factor}...")
-        students[size_factor] = distill_diffusion_model(
-            teacher_model,
-            teacher_variables,
-            config,
-            size_factor=size_factor,
-            seed=seed,
-            _prebuilt=prebuilt.get(size_factor),
-        )
+    # One shared async writer: saves from student i overlap student i+1's
+    # training; joined once at the end of the sweep.
+    writer = AsyncCheckpointWriter()
+    try:
+        for size_factor in size_factors:
+            print(
+                f"\nDistilling to student model with size factor {size_factor}..."
+            )
+            students[size_factor] = distill_diffusion_model(
+                teacher_model,
+                teacher_variables,
+                config,
+                size_factor=size_factor,
+                seed=seed,
+                _prebuilt=prebuilt.get(size_factor),
+                ckpt_writer=writer,
+            )
+    finally:
+        writer.close()
     return students

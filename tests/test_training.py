@@ -97,6 +97,34 @@ def test_checkpoint_roundtrip_and_latest(test_config, tmp_path):
     assert payload5["epoch"] == 2
 
 
+def test_async_checkpoint_writer_donation_safe(test_config, tmp_path):
+    """AsyncCheckpointWriter snapshots before the train step donates the
+    state: the written checkpoint must hold the PRE-step values even when
+    the step runs (and invalidates the old buffers) before flush."""
+    from distillation_trajectories_tpu.training import AsyncCheckpointWriter
+
+    model, variables, tx, state = _setup(test_config)
+    dp = get_diffusion_params(test_config.timesteps, test_config)
+    step = make_teacher_train_step(model, tx, dp, test_config.timesteps)
+    images = jnp.zeros((8, 16, 16, 1))
+
+    expected = np.asarray(jax.tree_util.tree_leaves(state.params)[0]).copy()
+    writer = AsyncCheckpointWriter()
+    d = str(tmp_path / "async_ckpts")
+    writer.save(d, 1, state.params, batch_stats=state.batch_stats,
+                opt_state=state.opt_state)
+    # Donate the old state buffers immediately.
+    state, _ = step(state, images, jax.random.PRNGKey(0))
+    writer.close()
+
+    payload = load_checkpoint(d, 1)
+    got = np.asarray(jax.tree_util.tree_leaves(payload["params"])[0])
+    np.testing.assert_array_equal(got, expected)
+    assert payload["epoch"] == 1
+    assert "opt_state" in payload
+    assert not os.path.exists(os.path.join(d, "model_epoch_1.msgpack.tmp"))
+
+
 def test_data_loader(test_config):
     from distillation_trajectories_tpu.data import get_data_loader, get_real_images
 
