@@ -45,7 +45,10 @@ def run_stage(name, cmd, log_dir, timeout=None, retries=1):
     t0 = time.time()
     ok = False
     for attempt in range(retries + 1):
-        with open(log_path, "w") as log:
+        # Append with a banner so a failed attempt's log survives the retry.
+        with open(log_path, "a") as log:
+            log.write(f"\n===== attempt {attempt + 1} =====\n")
+            log.flush()
             try:
                 proc = subprocess.run(
                     cmd, stdout=log, stderr=subprocess.STDOUT,
