@@ -27,7 +27,7 @@ from .state import (
     make_optimizer,
     make_teacher_train_step,
 )
-from .teacher import generate_sample_grid
+from .teacher import generate_sample_grid  # noqa: F401 (API re-export)
 
 
 def continue_training(config, start_epoch: int, seed: int = 0, log_every: int = 50):
@@ -65,6 +65,14 @@ def continue_training(config, start_epoch: int, seed: int = 0, log_every: int = 
     train_step = make_teacher_train_step(model, tx, diffusion_params, config.timesteps)
     loader = get_data_loader(config, seed=seed + start_epoch)
     ckpt_writer = AsyncCheckpointWriter()
+    # One executable for all epochs' sample grids (see teacher.make_grid_fn).
+    from .teacher import make_grid_fn
+
+    grid_jit = (
+        make_grid_fn(model, config, diffusion_params)
+        if config.num_samples_to_generate > 0
+        else None
+    )
 
     for i in range(config.epochs):
         epoch = start_epoch + i
@@ -105,14 +113,18 @@ def continue_training(config, start_epoch: int, seed: int = 0, log_every: int = 
                 opt_state=state.opt_state,
             )
             key, sample_key = jax.random.split(key)
-            generate_sample_grid(
-                model,
-                {"params": state.params, "batch_stats": state.batch_stats},
-                config,
-                diffusion_params,
-                sample_key,
-                os.path.join(config.results_dir, f"samples_epoch_{epoch + 1}.png"),
-            )
+            if grid_jit is not None:
+                from ..utils.viz import save_image_grid
+
+                samples = grid_jit(state.params, state.batch_stats, sample_key)
+                save_image_grid(
+                    np.asarray(samples),
+                    os.path.join(
+                        config.results_dir, f"samples_epoch_{epoch + 1}.png"
+                    ),
+                    nrow=config.samples_grid_size,
+                    figsize=config.samples_figure_size,
+                )
 
     ckpt_writer.close()
     return model, {"params": state.params, "batch_stats": state.batch_stats}
