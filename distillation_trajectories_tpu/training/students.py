@@ -330,22 +330,26 @@ def train_students(
         else:
             images_aval = jax.ShapeDtypeStruct(images_shape, jnp.float32)
             key_example = jax.random.PRNGKey(0)
-        lowered = [
-            b["train_step"].lower(b["state"], images_aval, key_example)
+        # Producers: tracing happens in the calling thread while earlier
+        # graphs compile in the pool (utils/compile_pool.py).
+        producers = [
+            lambda b=b: b["train_step"].lower(
+                b["state"], images_aval, key_example
+            )
             for b in prebuilt.values()
         ]
         # Grid keys are plain (uncommitted) at execution time in both the
         # mesh and single-device paths — lower with a plain key to match.
         grid_key = jax.random.PRNGKey(0)
-        lowered += [
-            b["grid_fn"].lower(
+        producers += [
+            lambda b=b: b["grid_fn"].lower(
                 b["state"].params, b["state"].batch_stats, grid_key
             )
             for b in prebuilt.values()
             if b["grid_fn"] is not None
         ]
         compile_concurrently(
-            lowered,
+            producers,
             label=f"distill steps + grids x{len(size_factors)}",
             # Train-step graphs compile in minutes (vs ~30s trajectory
             # scans); budget the hang deadline accordingly.

@@ -222,7 +222,7 @@ def _sweep_compare_impl(
     guidance_scales: Sequence[float] = (1.0, 3.0, 5.0),
     num_samples: int = 3,
     base_seed: int = 42,
-    compile_workers: int = 8,
+    compile_workers: int = None,
     verbose: bool = True,
 ) -> Dict[float, Dict[str, Dict[float, Dict[str, float]]]]:
     """Teacher-vs-student metric sweep over many student sizes at once.
@@ -287,21 +287,31 @@ def _sweep_compare_impl(
     if mesh is not None:
         keys = jax.device_put(keys, batch_sharding(mesh))
 
-    lowered = []
+    # Producers, not pre-lowered objects: tracing is serial (GIL), so the
+    # pool traces graph i+1 in the main thread while compiling graphs ≤ i.
+    producers = []
     for fns in [teacher_fns] + list(student_fns.values()):
         for use_cfg in needed_cfg:
-            lowered.append(fns[use_cfg].lower(noises, seeds, gs_example))
+            producers.append(
+                lambda f=fns[use_cfg]: f.lower(noises, seeds, gs_example)
+            )
     if mesh is None:
-        # eval_shape avals carry no shardings, so an AOT metrics compile
-        # would miss the dispatch cache under a mesh (the executed call sees
-        # sharded trajectories) — only pre-compile it in the single-device
-        # case and let the one mesh-case compile happen at first execution.
-        t_traj_shape = jax.eval_shape(
-            teacher_fns[needed_cfg[0]], noises, seeds, gs_example
+        # The trajectory avals are known statically — no need to eval_shape
+        # (a full extra trace of the teacher graph).  Skipped under a mesh:
+        # these avals carry no shardings, so the AOT compile would miss the
+        # dispatch cache exactly in the multi-device case.
+        traj_aval = jax.ShapeDtypeStruct(
+            (
+                num_samples, timesteps + 1, config.image_size,
+                config.image_size, config.channels,
+            ),
+            _store_dtype(config) or jnp.float32,
         )
-        lowered.append(_batch_metrics.lower(t_traj_shape, t_traj_shape, keys))
+        producers.append(
+            lambda: _batch_metrics.lower(traj_aval, traj_aval, keys)
+        )
     compile_concurrently(
-        lowered,
+        producers,
         workers=compile_workers,
         label=(
             f"sweep ({len(students)} sizes x {len(needed_cfg)} graphs "
@@ -357,7 +367,7 @@ def sweep_compare_trajectories(
     guidance_scales: Sequence[float] = (1.0, 3.0, 5.0),
     num_samples: int = 3,
     base_seed: int = 42,
-    compile_workers: int = 8,
+    compile_workers: int = None,
     verbose: bool = True,
 ) -> Dict[float, Dict[str, Dict[float, Dict[str, float]]]]:
     """Public front door for :func:`_sweep_compare_impl` (see its docstring

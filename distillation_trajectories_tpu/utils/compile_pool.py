@@ -43,12 +43,19 @@ def cancel_watchdog() -> None:
 
 def compile_concurrently(
     lowered: Sequence,
-    workers: int = 8,
+    workers: int = None,
     label: str = "",
     verbose: bool = True,
     per_item_budget: float = 45.0,
 ) -> List[float]:
-    """Compile ``Lowered`` objects in a thread pool; returns per-item seconds.
+    """Compile a batch of computations in a thread pool; returns per-item
+    seconds.
+
+    Items may be ``Lowered`` objects or zero-arg callables producing one.
+    All callables are resolved (traced) BEFORE the pool starts: interleaving
+    tracing with running compile threads was measured 3-4x slower overall on
+    this 1-core host (GIL/scheduler contention starves the serial tracer),
+    so trace-all-then-compile-all is the faster order.
 
     The watchdog is armed for the pool's duration and cancelled on every
     exit path; the deadline allows a fully serialized pool plus margin.
@@ -57,6 +64,8 @@ def compile_concurrently(
     """
     if not lowered:
         return []
+    if workers is None:
+        workers = int(os.environ.get("DTT_COMPILE_WORKERS", "8") or 8)
     t0 = time.perf_counter()
 
     def timed_compile(lw):
@@ -66,17 +75,21 @@ def compile_concurrently(
 
     arm_watchdog(max(600.0, per_item_budget * len(lowered)))
     try:
+        resolved = [item() if callable(item) else item for item in lowered]
+        trace_s = time.perf_counter() - t0
         with concurrent.futures.ThreadPoolExecutor(max_workers=workers) as pool:
-            per = list(pool.map(timed_compile, lowered))
+            per = list(pool.map(timed_compile, resolved))
     finally:
         cancel_watchdog()
     if verbose:
-        # sum ≈ wall ⇒ the backend serialized the compiles; sum >> wall ⇒
-        # they genuinely overlapped.
+        # compile sum ≈ compile wall ⇒ the backend serialized the compiles;
+        # sum >> wall ⇒ they genuinely overlapped (varies run-to-run with
+        # axon server load).
         wall = time.perf_counter() - t0
         print(
             f"[compile-pool] {label or 'compiled'}: {len(per)} executables "
-            f"in {wall:.1f}s wall (sum {sum(per):.1f}s, max {max(per):.1f}s, "
-            f"{workers} workers)"
+            f"in {wall:.1f}s wall (trace {trace_s:.1f}s, compile wall "
+            f"{wall - trace_s:.1f}s, compile sum {sum(per):.1f}s, "
+            f"max {max(per):.1f}s, {workers} workers)"
         )
     return per
