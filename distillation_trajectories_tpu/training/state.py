@@ -152,10 +152,15 @@ def make_distill_train_step(
     between student and teacher predictions.
     """
     ratio = student_steps / teacher_steps
-    teacher_fn = make_eval_model_fn(teacher_model, teacher_variables)
 
-    @partial(jax.jit, donate_argnums=(0,))
-    def train_step(state: TrainState, images: jnp.ndarray, key: jax.Array):
+    # teacher_variables is an ARGUMENT of the jitted step, not a closure:
+    # closed-over param trees are embedded in the lowered IR, and the axon
+    # backend hashes the whole module per compile for its server-side cache
+    # (minutes for ~40 MB of inline constants, and a new cache key for
+    # every retrained teacher).  See engine._VariablesAsArgFn.
+    @partial(jax.jit, donate_argnums=(1,))
+    def _train_step(t_vars, state: TrainState, images: jnp.ndarray, key: jax.Array):
+        teacher_fn = make_eval_model_fn(teacher_model, t_vars)
         b = images.shape[0]
         kt, kn, kd1, kd2 = jax.random.split(key, 4)
         t_teacher = jax.random.randint(kt, (b,), 0, teacher_steps)
@@ -194,4 +199,14 @@ def make_distill_train_step(
         )
         return new_state, loss
 
-    return train_step
+    class _DistillStep:
+        """step(state, images, key) with teacher vars pre-bound; ``lower``
+        exposed for AOT compile pools (utils/compile_pool.py)."""
+
+        def __call__(self, state, images, key):
+            return _train_step(teacher_variables, state, images, key)
+
+        def lower(self, state, images, key):
+            return _train_step.lower(teacher_variables, state, images, key)
+
+    return _DistillStep()

@@ -92,6 +92,30 @@ def generate_trajectory(
     )
 
 
+class _VariablesAsArgFn:
+    """Callable wrapping a jitted fn whose first argument is the variables
+    pytree, pre-binding that tree while keeping ``lower()`` for AOT pools.
+
+    Why variables are ARGUMENTS and not closure constants: closed-over
+    param trees get embedded in the lowered IR, and the axon backend hashes
+    the full module for its server-side compile cache on EVERY compile —
+    canonicalizing ~40 MB of inline constants took minutes (watchdog stack:
+    jax/_src/cache_key.py::_canonicalize_ir) and changed the cache key
+    whenever param VALUES changed, defeating cross-run compile reuse.  As
+    arguments, only their avals appear in the IR.
+    """
+
+    def __init__(self, jitted, variables):
+        self._jitted = jitted
+        self._variables = variables
+
+    def __call__(self, *args):
+        return self._jitted(self._variables, *args)
+
+    def lower(self, *args):
+        return self._jitted.lower(self._variables, *args)
+
+
 def make_paired_trajectory_fn(
     teacher_model,
     teacher_variables,
@@ -110,29 +134,35 @@ def make_paired_trajectory_fn(
     Returns: fn(noises [S,H,W,C], seeds [S], gs scalar) ->
         (teacher_trajs, student_trajs) each [S, T+1, H, W, C].
     """
-    t_fn = make_eval_model_fn(teacher_model, teacher_variables)
-    s_fn = make_eval_model_fn(student_model, student_variables)
     dp = get_diffusion_params(timesteps, config)
     alphas = dp["alphas"]
 
-    def one_sample(noise_hwc, seed, gs):
-        noise = noise_hwc[None]  # model batch dim
-        kwargs = dict(
-            guidance_scale=gs,
-            use_cfg=use_cfg,
-            store_dtype=_store_dtype(config),
-            use_pallas=getattr(config, "pallas_cfg_update", False),
-        )
-        t_traj = generate_trajectory_scan(
-            t_fn, noise, timesteps, alphas, seed, **kwargs
-        )
-        s_traj = generate_trajectory_scan(
-            s_fn, noise, timesteps, alphas, seed, **kwargs
-        )
-        return t_traj[:, 0], s_traj[:, 0]
+    def batched(variables, noises, seeds, gs):
+        t_vars, s_vars = variables
+        t_fn = make_eval_model_fn(teacher_model, t_vars)
+        s_fn = make_eval_model_fn(student_model, s_vars)
 
-    batched = jax.vmap(one_sample, in_axes=(0, 0, None))
-    return jax.jit(batched)
+        def one_sample(noise_hwc, seed):
+            noise = noise_hwc[None]  # model batch dim
+            kwargs = dict(
+                guidance_scale=gs,
+                use_cfg=use_cfg,
+                store_dtype=_store_dtype(config),
+                use_pallas=getattr(config, "pallas_cfg_update", False),
+            )
+            t_traj = generate_trajectory_scan(
+                t_fn, noise, timesteps, alphas, seed, **kwargs
+            )
+            s_traj = generate_trajectory_scan(
+                s_fn, noise, timesteps, alphas, seed, **kwargs
+            )
+            return t_traj[:, 0], s_traj[:, 0]
+
+        return jax.vmap(one_sample)(noises, seeds)
+
+    return _VariablesAsArgFn(
+        jax.jit(batched), (teacher_variables, student_variables)
+    )
 
 
 def make_batch_trajectory_fn(
@@ -150,25 +180,29 @@ def make_batch_trajectory_fn(
     per-size compile covers only the student graph — the reference's sweep
     recomputes the teacher for every size (trajectory_engine.py:117-179).
     """
-    model_fn = make_eval_model_fn(model, variables)
     dp = get_diffusion_params(timesteps, config)
     alphas = dp["alphas"]
 
-    def one_sample(noise_hwc, seed, gs):
-        traj = generate_trajectory_scan(
-            model_fn,
-            noise_hwc[None],
-            timesteps,
-            alphas,
-            seed,
-            guidance_scale=gs,
-            use_cfg=use_cfg,
-            store_dtype=_store_dtype(config),
-            use_pallas=getattr(config, "pallas_cfg_update", False),
-        )
-        return traj[:, 0]
+    def batched(vars_, noises, seeds, gs):
+        model_fn = make_eval_model_fn(model, vars_)
 
-    return jax.jit(jax.vmap(one_sample, in_axes=(0, 0, None)))
+        def one_sample(noise_hwc, seed):
+            traj = generate_trajectory_scan(
+                model_fn,
+                noise_hwc[None],
+                timesteps,
+                alphas,
+                seed,
+                guidance_scale=gs,
+                use_cfg=use_cfg,
+                store_dtype=_store_dtype(config),
+                use_pallas=getattr(config, "pallas_cfg_update", False),
+            )
+            return traj[:, 0]
+
+        return jax.vmap(one_sample)(noises, seeds)
+
+    return _VariablesAsArgFn(jax.jit(batched), variables)
 
 
 @jax.jit
