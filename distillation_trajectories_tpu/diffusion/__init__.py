@@ -12,6 +12,9 @@ from .sampling import (
     p_sample_loop,
     engine_update,
     generate_trajectory_scan,
+    generate_trajectory_batch_scan,
+    CFG_COND_PAIRS,
+    NOCFG_COND_PAIRS,
     subsampled_timestep_indices,
 )
 from .parallel_sampling import parallel_generate_trajectory

@@ -38,6 +38,9 @@ def cosine_beta_schedule(timesteps: int, s: float = 0.008) -> jnp.ndarray:
     return jnp.asarray(np.clip(betas, 0.0, 0.999), dtype=jnp.float32)
 
 
+_PARAMS_CACHE: Dict[tuple, Dict[str, jnp.ndarray]] = {}
+
+
 def get_diffusion_params(
     sample_steps: int, config: Optional[object] = None
 ) -> Dict[str, jnp.ndarray]:
@@ -47,38 +50,55 @@ def get_diffusion_params(
     and ``sqrt_recip_alphas_cumprod`` — the reference's editing modules expect
     an ``alphas`` key that its own ``get_diffusion_params`` never returned
     (API mismatch noted in SURVEY.md §2.3); we fix that here.
+
+    The derived tensors are computed in NUMPY and memoized per
+    (steps, schedule) signature: each jnp op here is an individually
+    dispatched (and first time, compiled) device computation, and the sweep
+    engine builds one trajectory fn per model size — on the tunneled TPU
+    backend the ~10 ops x 10 calls of the round-2 layout cost real
+    wall-clock before any real work started.  Returned values are jnp
+    (device) arrays so traced indexing (``alphas[t]`` inside scans) works;
+    the dict itself is a fresh copy per call.
     """
     beta_start = getattr(config, "beta_start", 1e-4) if config else 1e-4
     beta_end = getattr(config, "beta_end", 0.02) if config else 0.02
     schedule = getattr(config, "noise_schedule", "linear") if config else "linear"
 
+    cache_key = (int(sample_steps), float(beta_start), float(beta_end), schedule)
+    if cache_key in _PARAMS_CACHE:
+        return dict(_PARAMS_CACHE[cache_key])
+
     if schedule == "cosine":
-        betas = cosine_beta_schedule(sample_steps)
+        betas = np.asarray(cosine_beta_schedule(sample_steps))
     else:
-        betas = linear_beta_schedule(sample_steps, beta_start, beta_end)
+        betas = np.linspace(
+            beta_start, beta_end, sample_steps, dtype=np.float32
+        )
 
-    alphas = 1.0 - betas
-    alphas_cumprod = jnp.cumprod(alphas, axis=0)
-    alphas_cumprod_prev = jnp.pad(
+    alphas = (1.0 - betas).astype(np.float32)
+    alphas_cumprod = np.cumprod(alphas, axis=0, dtype=np.float32)
+    alphas_cumprod_prev = np.pad(
         alphas_cumprod[:-1], (1, 0), constant_values=1.0
-    )
-    sqrt_recip_alphas = jnp.sqrt(1.0 / alphas)
-    sqrt_alphas_cumprod = jnp.sqrt(alphas_cumprod)
-    sqrt_one_minus_alphas_cumprod = jnp.sqrt(1.0 - alphas_cumprod)
-    posterior_variance = betas * (1.0 - alphas_cumprod_prev) / (1.0 - alphas_cumprod)
-
-    return {
+    ).astype(np.float32)
+    host = {
         "betas": betas,
         "alphas": alphas,
         "alphas_cumprod": alphas_cumprod,
         "alphas_cumprod_prev": alphas_cumprod_prev,
-        "sqrt_recip_alphas": sqrt_recip_alphas,
-        "sqrt_alphas_cumprod": sqrt_alphas_cumprod,
-        "sqrt_one_minus_alphas_cumprod": sqrt_one_minus_alphas_cumprod,
-        "sqrt_recip_alphas_cumprod": jnp.sqrt(1.0 / alphas_cumprod),
-        "posterior_variance": posterior_variance,
-        "timesteps": jnp.asarray(sample_steps, dtype=jnp.int32),
+        "sqrt_recip_alphas": np.sqrt(1.0 / alphas),
+        "sqrt_alphas_cumprod": np.sqrt(alphas_cumprod),
+        "sqrt_one_minus_alphas_cumprod": np.sqrt(1.0 - alphas_cumprod),
+        "sqrt_recip_alphas_cumprod": np.sqrt(1.0 / alphas_cumprod),
+        "posterior_variance": betas
+        * (1.0 - alphas_cumprod_prev)
+        / (1.0 - alphas_cumprod),
     }
+    params = {
+        k: jnp.asarray(v, dtype=jnp.float32) for k, v in host.items()
+    }
+    params["timesteps"] = jnp.asarray(sample_steps, dtype=jnp.int32)
+    _PARAMS_CACHE[cache_key] = params
+    return dict(params)
 
 
 def extract(a: jnp.ndarray, t: jnp.ndarray, x_shape) -> jnp.ndarray:

@@ -4,6 +4,7 @@ from .engine import (
     compare_trajectories,
     make_batch_trajectory_fn,
     make_paired_trajectory_fn,
+    make_sweep_trajectory_fn,
     sweep_compare_trajectories,
 )
 from .manager import TrajectoryManager, generate_trajectories_with_disk_storage

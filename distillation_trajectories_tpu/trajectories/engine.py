@@ -18,7 +18,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..diffusion import get_diffusion_params
-from ..diffusion.sampling import generate_trajectory_scan
+from ..diffusion.sampling import (
+    CFG_COND_PAIRS,
+    NOCFG_COND_PAIRS,
+    generate_trajectory_batch_scan,
+    generate_trajectory_scan,
+)
 from ..metrics.trajectory_metrics import _metrics_core, compute_trajectory_metrics
 from ..parallel import mesh_from_config
 from ..parallel.mesh import DATA_AXIS, batch_sharding
@@ -205,6 +210,38 @@ def make_batch_trajectory_fn(
     return _VariablesAsArgFn(jax.jit(batched), variables)
 
 
+def make_sweep_trajectory_fn(model, variables, timesteps: int, config=None):
+    """One-executable-per-model trajectory batcher for the flagship sweep.
+
+    Returns a jitted ``fn(noises [S,H,W,C], seeds [S], cond_pairs [2,2],
+    gs scalar) -> trajs [S, T+1, H, W, C]`` built on
+    :func:`generate_trajectory_batch_scan`: samples ride the model batch
+    axis (no outer vmap) and the CFG/no-CFG choice is the *runtime*
+    ``cond_pairs`` input, so each model traces and compiles exactly one
+    graph for the whole sweep — the round-2 two-graphs-per-model layout's
+    trace wall (19 graphs, 93–200s) was the last obstacle to the ≥50×
+    sweep target.
+    """
+    dp = get_diffusion_params(timesteps, config)
+    alphas = dp["alphas"]
+
+    def batched(vars_, noises, seeds, cond_pairs, gs):
+        model_fn = make_eval_model_fn(model, vars_)
+        return generate_trajectory_batch_scan(
+            model_fn,
+            noises,
+            timesteps,
+            alphas,
+            seeds,
+            cond_pairs,
+            gs,
+            store_dtype=_store_dtype(config),
+            use_pallas=getattr(config, "pallas_cfg_update", False),
+        )
+
+    return _VariablesAsArgFn(jax.jit(batched), variables)
+
+
 @jax.jit
 def _batch_metrics(t_trajs, s_trajs, keys):
     """Metric suite vmapped over the sample axis; module-level jit so the
@@ -219,16 +256,16 @@ def _sweep_inputs(config, num_samples: int, base_seed: int):
     # Per-sample noise from the sample seed (reference seeds torch's global
     # generator with 42+i then draws the noise; we use the same seed for the
     # JAX draw — parity is at the distribution level, SURVEY.md §7).
-    noises = jnp.stack(
-        [
-            jax.random.normal(
-                jax.random.PRNGKey(int(s)),
-                (config.image_size, config.image_size, config.channels),
-            )
-            for s in seeds
-        ]
-    )
+    # ONE vmapped+jitted draw for all samples: a per-seed Python loop
+    # compiles a fresh tiny executable per sample on the tunneled backend
+    # (constant-folded seed), costing seconds before the sweep starts.
+    # Values are identical — vmap(normal ∘ PRNGKey) row i == the scalar
+    # call with seed i.
     seeds = jnp.asarray(seeds)
+    shape = (config.image_size, config.image_size, config.channels)
+    noises = jax.jit(
+        jax.vmap(lambda s: jax.random.normal(jax.random.PRNGKey(s), shape))
+    )(seeds)
 
     # Config.mesh_shape != (1,1): shard the sample axis over the data mesh
     # axis so each device generates its own trajectory pairs (the vmapped
@@ -292,43 +329,46 @@ def _sweep_compare_impl(
     # stacks and exits instead of hanging forever — callers
     # (run_full_sweep.py) treat the non-zero exit as transient and retry.
     timesteps = config.timesteps
-    arm_watchdog(300.0)  # inputs + tracing
+    # Deadlines scale with workload size (a bigger sweep — more samples,
+    # scales, sizes, or steps — must not be hard-killed mid-legitimate-run);
+    # DTT_COMPILE_TIMEOUT still overrides every phase (arm_watchdog).
+    work_scale = max(
+        1.0,
+        (len(students) + 1)
+        * len(guidance_scales)
+        * num_samples
+        * timesteps
+        / (9.0 * 10 * 10 * 100),
+    )
+    arm_watchdog(300.0 * work_scale)  # inputs + tracing
+    t_setup = _time.perf_counter()
     noises, seeds, mesh = _sweep_inputs(config, num_samples, base_seed)
     gs_example = jnp.float32(1.0)
+    cfg_pairs = jnp.asarray(CFG_COND_PAIRS)
+    nocfg_pairs = jnp.asarray(NOCFG_COND_PAIRS)
 
-    def batch_fns(model, variables):
-        return {
-            use_cfg: make_batch_trajectory_fn(
-                model, variables, timesteps, config, use_cfg=use_cfg
-            )
-            for use_cfg in (True, False)
-        }
-
-    teacher_fns = batch_fns(teacher_model, teacher_variables)
+    teacher_fn = make_sweep_trajectory_fn(
+        teacher_model, teacher_variables, timesteps, config
+    )
     student_fns = {
-        sf: batch_fns(model, variables)
+        sf: make_sweep_trajectory_fn(model, variables, timesteps, config)
         for sf, (model, variables) in students.items()
     }
+    if verbose:
+        print(f"[sweep] inputs+fns setup: {_time.perf_counter() - t_setup:.1f}s")
 
-    any_cfg = any(gs is not None and gs > 1.0 for gs in guidance_scales)
-    any_nocfg = any(gs is None or gs <= 1.0 for gs in guidance_scales)
-    needed_cfg = [uc for uc in (True, False) if (uc and any_cfg) or (not uc and any_nocfg)]
-
-    # AOT-compile every needed executable concurrently.  Tracing/lowering is
-    # cheap and done here in the calling thread context via .lower(); the
-    # expensive XLA compile happens inside the pool.
+    # AOT-compile every needed executable concurrently — ONE graph per model
+    # (CFG vs no-CFG is the runtime cond_pairs input; see
+    # make_sweep_trajectory_fn).  Tracing/lowering happens via .lower() in
+    # the calling thread; the expensive XLA compile happens inside the pool.
     keys = jax.random.split(jax.random.PRNGKey(base_seed), num_samples)
     if mesh is not None:
         keys = jax.device_put(keys, batch_sharding(mesh))
 
-    # Producers, not pre-lowered objects: tracing is serial (GIL), so the
-    # pool traces graph i+1 in the main thread while compiling graphs ≤ i.
-    producers = []
-    for fns in [teacher_fns] + list(student_fns.values()):
-        for use_cfg in needed_cfg:
-            producers.append(
-                lambda f=fns[use_cfg]: f.lower(noises, seeds, gs_example)
-            )
+    producers = [
+        lambda f=f: f.lower(noises, seeds, cfg_pairs, gs_example)
+        for f in [teacher_fn] + list(student_fns.values())
+    ]
     if mesh is None:
         # The trajectory avals are known statically — no need to eval_shape
         # (a full extra trace of the teacher graph).  Skipped under a mesh:
@@ -348,8 +388,8 @@ def _sweep_compare_impl(
         producers,
         workers=compile_workers,
         label=(
-            f"sweep ({len(students)} sizes x {len(needed_cfg)} graphs "
-            f"+ teacher{' + metrics' if mesh is None else ''})"
+            f"sweep ({len(students)} sizes + teacher"
+            f"{' + metrics' if mesh is None else ''}, 1 graph each)"
         ),
         verbose=verbose,
     )
@@ -359,21 +399,29 @@ def _sweep_compare_impl(
     # np.asarray would pay a host↔device round-trip per metric per (size,
     # scale) — ~1200 tunnel RTTs for the default sweep, which measured ~10x
     # the actual compute time on the axon-tunneled chip.
-    arm_watchdog(600.0)  # execution + host fetch
+    arm_watchdog(600.0 * work_scale)  # execution + host fetch
     t0 = _time.perf_counter()
     pending = {sf: {} for sf in students}
     for gs in guidance_scales:
         use_cfg = gs is not None and gs > 1.0
+        pairs = cfg_pairs if use_cfg else nocfg_pairs
         gs_arr = jnp.float32(1.0 if gs is None else gs)
-        t_trajs = teacher_fns[use_cfg](noises, seeds, gs_arr)
-        for sf, fns in student_fns.items():
-            s_trajs = fns[use_cfg](noises, seeds, gs_arr)
+        t_trajs = teacher_fn(noises, seeds, pairs, gs_arr)
+        for sf, fn in student_fns.items():
+            s_trajs = fn(noises, seeds, pairs, gs_arr)
             pending[sf][gs] = _batch_metrics(t_trajs, s_trajs, keys)
     host_metrics = jax.device_get(pending)
     results: Dict[float, Dict[float, Dict[str, float]]] = {}
     for sf, per_gs in host_metrics.items():
         results[sf] = {}
         for gs, metrics in per_gs.items():
+            # Sweep output keeps only the per-sample SCALAR metrics (shape
+            # [num_samples], averaged) — vector metrics (per-step velocities,
+            # per-step Wasserstein) are intentionally dropped: the sweep
+            # consumers (heatmap/radar CLIs, transform_metrics) need exactly
+            # the scalar suite, pinned by
+            # tests/test_trajectories.py::test_sweep_output_contract.  Use
+            # compute_trajectory_metrics for the full per-pair suite.
             results[sf][gs] = {
                 k: float(np.mean(v))
                 for k, v in metrics.items()
@@ -387,8 +435,15 @@ def _sweep_compare_impl(
             f"({n / dt:.1f} pairs/s)"
         )
 
+    # The reference stores the same pair-metric dict under both keys
+    # (trajectory_engine.py:162-164).  We keep the VALUE equality but return
+    # independent dict objects per key so a downstream writer mutating one
+    # view cannot silently corrupt the other (round-2 review finding).
     return {
-        sf: {"teacher_metrics": per_gs, "student_metrics": per_gs}
+        sf: {
+            "teacher_metrics": {gs: dict(m) for gs, m in per_gs.items()},
+            "student_metrics": {gs: dict(m) for gs, m in per_gs.items()},
+        }
         for sf, per_gs in results.items()
     }
 

@@ -115,6 +115,100 @@ def test_sweep_matches_paired_path(test_config):
             )
 
 
+def test_batch_scan_matches_per_sample_scan(test_config):
+    """The unified sweep sampler (samples on the model batch axis, CFG via
+    runtime cond_pairs) reproduces the per-sample generate_trajectory_scan
+    for both CFG and no-CFG, and its no-CFG output is invariant to the
+    guidance-scale argument (preds[1] == preds[0] makes the combine exact)."""
+    from distillation_trajectories_tpu.diffusion import (
+        CFG_COND_PAIRS,
+        NOCFG_COND_PAIRS,
+        generate_trajectory_batch_scan,
+        generate_trajectory_scan,
+        get_diffusion_params,
+    )
+    from distillation_trajectories_tpu.training.state import make_eval_model_fn
+
+    teacher, t_vars, _, _ = _models(test_config)
+    model_fn = make_eval_model_fn(teacher, t_vars)
+    dp = get_diffusion_params(test_config.timesteps, test_config)
+    seeds = np.array([42, 43, 44], dtype=np.int32)
+    noises = jnp.stack(
+        [
+            jax.random.normal(jax.random.PRNGKey(int(s)), (16, 16, 1))
+            for s in seeds
+        ]
+    )
+
+    for gs, pairs, use_cfg in (
+        (3.0, CFG_COND_PAIRS, True),
+        (1.0, NOCFG_COND_PAIRS, False),
+    ):
+        batched = generate_trajectory_batch_scan(
+            model_fn, noises, test_config.timesteps, dp["alphas"],
+            jnp.asarray(seeds), jnp.asarray(pairs), jnp.float32(gs),
+        )
+        for i, s in enumerate(seeds):
+            ref = generate_trajectory_scan(
+                model_fn, noises[i][None], test_config.timesteps,
+                dp["alphas"], int(s), guidance_scale=gs, use_cfg=use_cfg,
+            )[:, 0]
+            np.testing.assert_allclose(
+                np.asarray(batched[i]), np.asarray(ref), rtol=2e-5, atol=2e-6,
+                err_msg=f"gs={gs} sample={i}",
+            )
+
+    # no-CFG result must not depend on gs (one graph serves every scale).
+    a = generate_trajectory_batch_scan(
+        model_fn, noises, test_config.timesteps, dp["alphas"],
+        jnp.asarray(seeds), jnp.asarray(NOCFG_COND_PAIRS), jnp.float32(1.0),
+    )
+    b = generate_trajectory_batch_scan(
+        model_fn, noises, test_config.timesteps, dp["alphas"],
+        jnp.asarray(seeds), jnp.asarray(NOCFG_COND_PAIRS), jnp.float32(17.5),
+    )
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_sweep_output_contract(test_config):
+    """Pins the sweep result contract: teacher_metrics/student_metrics carry
+    equal VALUES (the reference stores the same pair metrics under both keys,
+    trajectory_engine.py:162-164) but are independent dict objects, and the
+    surviving scalar keys cover exactly what the heatmap/radar CLIs and
+    transform_metrics consume."""
+    from distillation_trajectories_tpu.trajectories import (
+        sweep_compare_trajectories,
+    )
+
+    teacher, t_vars, student, s_vars = _models(test_config)
+    out = sweep_compare_trajectories(
+        teacher,
+        t_vars,
+        {0.1: (student, s_vars)},
+        test_config,
+        guidance_scales=[3.0],
+        num_samples=2,
+        verbose=False,
+    )[0.1]
+    tm, sm = out["teacher_metrics"], out["student_metrics"]
+    assert tm == sm  # value equality (reference quirk preserved)
+    assert tm is not sm and tm[3.0] is not sm[3.0]  # no aliasing
+    tm[3.0]["endpoint_distance"] = -1.0
+    assert sm[3.0]["endpoint_distance"] != -1.0  # mutation does not leak
+    # Keys needed by scripts/analysis/analyze_trajectory_metrics.py
+    # (transform_metrics inputs) must all survive the scalar-only filter.
+    needed = {
+        "path_length_similarity",
+        "trajectory_mse",
+        "mean_directional_consistency",
+        "distribution_similarity",
+    }
+    assert needed <= set(sm[3.0].keys())
+    # Vector metrics are intentionally dropped from sweep output.
+    assert "teacher_velocities" not in sm[3.0]
+    assert "wasserstein_distances" not in sm[3.0]
+
+
 def test_manager_roundtrip_and_batch_metrics(test_config):
     teacher, t_vars, student, s_vars = _models(test_config)
     manager = TrajectoryManager(
