@@ -167,16 +167,22 @@ def device_bench_child():
     print(json.dumps({"ours": ours, "pairs_per_s": pairs_per_s}))
 
 
-def run_device_bench(attempts=3, timeout=900):
+def run_device_bench(attempts=3, timeouts=(420, 900)):
     """Run the device bench in a child process with timeout + retry.
 
     Both failure modes of the axon tunnel are covered: transient errors
     (child exits non-zero -> retry) and dropped RPCs that never return
-    (child killed at ``timeout`` -> retry with a fresh connection).
+    (child killed at the attempt's timeout -> retry with a fresh
+    connection).  The FIRST attempt's deadline is sized to the known
+    compile envelope (~5-6 min for the full sampler graph) so a hung
+    attempt costs ~7 min instead of 15 (BENCH_r02 burned the full 900s on
+    an attempt-1 hang); later attempts keep the generous deadline in case
+    the compile server is genuinely slow rather than hung.
     """
     import subprocess
 
     for attempt in range(attempts):
+        timeout = timeouts[min(attempt, len(timeouts) - 1)]
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--device-bench"],

@@ -43,42 +43,55 @@ def compute_lpips(images1, images2, weights_path: Optional[str] = None) -> List[
     x = 2.0 * x - 1.0
     y = 2.0 * y - 1.0
 
-    try:
-        import lpips
-        import torch
+    # ``None`` is the failure sentinel: a broken lpips.LPIPS construction
+    # (e.g. the no-egress backbone download) is attempted ONCE per process —
+    # without it every compute_lpips call would re-pay the download timeout
+    # before falling back (round-2 advisor finding).
+    if _LPIPS_CACHE.get("torch", "unset") is not None:
+        try:
+            import lpips
+            import torch
 
-        if "torch" not in _LPIPS_CACHE:
-            # lpips.LPIPS(net="alex") downloads the torchvision backbone on
-            # first construction — in a no-egress environment that raises a
-            # URLError/RuntimeError, not ImportError, so catch broadly and
-            # fall through to the Flax backend.
-            _LPIPS_CACHE["torch"] = lpips.LPIPS(net="alex")
-        loss_fn = _LPIPS_CACHE["torch"]
+            if "torch" not in _LPIPS_CACHE:
+                # lpips.LPIPS(net="alex") downloads the torchvision backbone
+                # on first construction — in a no-egress environment that
+                # raises a URLError/RuntimeError, not ImportError, so catch
+                # broadly and fall through to the Flax backend.
+                _LPIPS_CACHE["torch"] = lpips.LPIPS(net="alex")
+            loss_fn = _LPIPS_CACHE["torch"]
 
-        def to_nchw(a):
-            if a.ndim == 3:  # [N,H,W] grayscale
-                a = a[:, None]
-            elif a.shape[-1] in (1, 3):  # NHWC → NCHW
-                a = a.transpose(0, 3, 1, 2)
-            if a.shape[1] == 1:
-                a = np.repeat(a, 3, axis=1)
-            return torch.from_numpy(np.ascontiguousarray(a))
+            def to_nchw(a):
+                if a.ndim == 3:  # [N,H,W] grayscale
+                    a = a[:, None]
+                elif a.shape[-1] in (1, 3):  # NHWC → NCHW
+                    a = a.transpose(0, 3, 1, 2)
+                if a.shape[1] == 1:
+                    a = np.repeat(a, 3, axis=1)
+                return torch.from_numpy(np.ascontiguousarray(a))
 
-        with torch.no_grad():
-            d = loss_fn(to_nchw(x), to_nchw(y))
-        return [float(v) for v in d.reshape(-1)]
-    except ImportError:
-        pass
-    except Exception as e:
-        print(f"Warning: lpips package backend unavailable ({e}); "
-              "trying the Flax backend")
+            with torch.no_grad():
+                d = loss_fn(to_nchw(x), to_nchw(y))
+            return [float(v) for v in d.reshape(-1)]
+        except ImportError:
+            _LPIPS_CACHE["torch"] = None
+        except Exception as e:
+            _LPIPS_CACHE["torch"] = None
+            print(f"Warning: lpips package backend unavailable ({e}); "
+                  "trying the Flax backend")
 
-    from .lpips import create_lpips
+    from .lpips import _weights_search_paths, create_lpips
 
     # Cache keyed on the effective weights path so a first call without
-    # weights does not permanently pin the placeholder scorer.
+    # weights does not permanently pin the placeholder scorer; additionally,
+    # a cached NON-pretrained scorer is rebuilt when a weights file has
+    # appeared since it was constructed (round-2 advisor finding).
     flax_key = ("flax", weights_path)
-    if flax_key not in _LPIPS_CACHE:
+    cached = _LPIPS_CACHE.get(flax_key)
+    weights_available = any(
+        p and os.path.exists(p)
+        for p in ([weights_path] if weights_path else _weights_search_paths())
+    )
+    if cached is None or (not cached[1] and weights_available):
         _LPIPS_CACHE[flax_key] = create_lpips(weights_path)
     scorer, pretrained = _LPIPS_CACHE[flax_key]
     if pretrained:

@@ -65,7 +65,6 @@ def distill_students_parallel(
     Returns {size_factor: (model, variables)} like
     ``training.students.train_students``.
     """
-    from ..training.checkpoints import save_checkpoint
     from ..training.state import (
         create_train_state,
         make_distill_train_step,

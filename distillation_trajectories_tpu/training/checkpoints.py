@@ -14,6 +14,7 @@ identically.
 
 from __future__ import annotations
 
+import concurrent.futures
 import os
 import re
 from typing import Any, Dict, Optional
@@ -129,17 +130,30 @@ class AsyncCheckpointWriter:
             os.replace(tmp, path)
             return path
 
+        # Surface a previously failed async save on the NEXT save() call
+        # instead of staying silent until flush/close — later epochs would
+        # otherwise keep training against a checkpoint directory that
+        # stopped persisting.
+        done = [f for f in self._futures if f.done()]
+        self._futures = [f for f in self._futures if not f.done()]
         self._futures.append(self._pool.submit(write))
+        for fut in done:
+            fut.result()
 
     def flush(self) -> None:
-        """Wait for all pending saves; raise the first failure."""
+        """Wait for ALL pending saves to settle; raise the first failure
+        only after every future has completed (an early raise would abandon
+        in-flight writes un-joined and skip close()'s pool shutdown)."""
         futures, self._futures = self._futures, []
+        concurrent.futures.wait(futures)
         for fut in futures:
             fut.result()
 
     def close(self) -> None:
-        self.flush()
-        self._pool.shutdown(wait=True)
+        try:
+            self.flush()
+        finally:
+            self._pool.shutdown(wait=True)
 
 
 def available_epochs(directory: str):

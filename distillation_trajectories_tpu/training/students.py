@@ -295,6 +295,13 @@ def train_students(
     if sweep_parallel:
         from ..parallel.sweep import distill_students_parallel
 
+        if tuple(getattr(config, "mesh_shape", (1, 1)) or (1, 1)) != (1, 1):
+            print(
+                "[students] WARNING: sweep_parallel uses per-device student "
+                f"placement and ignores mesh_shape={config.mesh_shape}; each "
+                "student trains unsharded on its own device. Drop --mesh or "
+                "--sweep_parallel to get SPMD sharding."
+            )
         return distill_students_parallel(
             config, teacher_model, teacher_variables, size_factors, seed=seed
         )
