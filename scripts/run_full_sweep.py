@@ -1,5 +1,5 @@
 """Full reference-default workload, timed end-to-end (BASELINE.json north
-star: "the full 11-size sweep").
+star: "the full 11-size sweep"), covering every BASELINE.json config.
 
 Stages (all reference-default flags):
 1. Teacher training            — train_teacher.py, 10 epochs, CIFAR-10 32x32
@@ -8,14 +8,21 @@ Stages (all reference-default flags):
    README default), the 11 README size factors 0.01-1.0 PLUS 0.05/0.75 so
    the CFG-sweep CLI's own default size list is fully trainable.
 3. CFG trajectory-metric sweep — analyze_trajectory_metrics.py defaults:
-   8 sizes x 10 guidance scales x 10 samples, T=100.
+   8 sizes x 10 guidance scales x 10 samples, T=100 (BASELINE configs 3+4:
+   CFG sweep with fused cond/uncond passes + the full CIFAR-10 32x32
+   trajectory-metric suite).
+4. Student-trio comparison     — the 0.1/0.5/0.9 trio vs teacher, paired
+   per-timestep trajectories at T=50 (BASELINE config 2), via the same
+   metric-sweep CLI.
+5. FID analysis                — analyze_fid.py across ALL trained size
+   factors with on-device Inception features (BASELINE config 5).
 
 Writes SWEEP_r{N}.json at the repo root with per-stage wall-clock and the
 equivalent-reference-time estimate from the measured reference rate in
 .bench_baseline.json (trajectory generation only — the training stages have
 no measured reference counterpart and are reported as wall-clock only).
 
-Usage: python scripts/run_full_sweep.py [--tag r02] [--skip-training]
+Usage: python scripts/run_full_sweep.py [--tag r03] [--skip-training]
 """
 
 import argparse
@@ -123,8 +130,34 @@ def main():
         timeout=1800,
         retries=2,
     )
-    _write(args.tag, stages, t_start, ok=stages["cfg_sweep"]["ok"])
-    sys.exit(0 if stages["cfg_sweep"]["ok"] else 1)
+    # BASELINE config 2: student trio (0.1/0.5/0.9) vs teacher, paired
+    # per-timestep chains at the BASELINE's 50-step horizon.
+    stages["trio"] = run_stage(
+        "trio",
+        [
+            py, "scripts/analysis/analyze_trajectory_metrics.py",
+            "--size_factors", "0.1,0.5,0.9",
+            "--timesteps", "50",
+            "--output_dir", "analysis/trio",
+        ],
+        log_dir,
+        timeout=1200,
+        retries=2,
+    )
+    # BASELINE config 5: FID across every trained size factor.
+    stages["fid"] = run_stage(
+        "fid",
+        [
+            py, "scripts/analysis/analyze_fid.py",
+            "--size_factors", SIZE_FACTORS,
+        ],
+        log_dir,
+        timeout=1800,
+        retries=2,
+    )
+    ok = all(stages[k]["ok"] for k in ("cfg_sweep", "trio", "fid"))
+    _write(args.tag, stages, t_start, ok=ok)
+    sys.exit(0 if ok else 1)
 
 
 def _write(tag, stages, t_start, ok):
@@ -157,6 +190,10 @@ def _write(tag, stages, t_start, ok):
             "student_size_factors": SIZE_FACTORS,
             "cfg_sweep": "8 sizes x 10 guidance scales x 10 samples, T=100, "
                          "paired teacher/student chains",
+            "trio": "size factors 0.1/0.5/0.9 vs teacher, paired "
+                    "per-timestep chains, T=50 (BASELINE config 2)",
+            "fid": f"FID across size factors {SIZE_FACTORS} with on-device "
+                   "Inception features (BASELINE config 5)",
             "n_trajectories_in_sweep": n_traj,
         },
         "reference_traj_per_s_T50": ref_rate,
