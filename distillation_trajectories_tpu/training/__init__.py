@@ -24,3 +24,4 @@ from .students import (
     print_size_factor_info,
 )
 from .continue_training import continue_training
+from .progressive import progressive_distill, make_progressive_distill_step

@@ -1,0 +1,176 @@
+"""On-chip measurement for progressive step-halving distillation.
+
+Trains ``--rounds`` halvings from the checkpointed teacher (T=50 by
+default, matching the BASELINE headline horizon), then measures:
+
+* sampler throughput (trajectories/s, bench.py methodology: fresh seeds
+  per timed call, host-read barrier) at the teacher's T and each halved T;
+* quality evidence: from the SAME noise, teacher chains at T vs student
+  chains at T/2^r — endpoint MSE / distribution similarity via the metric
+  suite's kernels — plus side-by-side sample grids under
+  ``output/results/progressive/``.
+
+Writes one JSON to ``output/results/bench_progressive.json`` for
+PERFORMANCE.md.  Usage:
+    python scripts/bench_progressive.py [--rounds 2] [--epochs 3]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from _common import load_teacher_from_arg, project_root  # noqa: E402
+
+import numpy as np  # noqa: E402
+
+
+def measure_traj_per_s(model, variables, steps, config, batch=256, iters=3):
+    """bench.py methodology: fresh seeds per timed call (the tunneled
+    backend caches identical executions) and a host read that depends on
+    the full computation as the barrier (block_until_ready can return
+    early over the tunnel)."""
+    import jax
+    import jax.numpy as jnp
+
+    from distillation_trajectories_tpu.diffusion import (
+        generate_trajectory_scan,
+        get_diffusion_params,
+    )
+    from distillation_trajectories_tpu.training.state import make_eval_model_fn
+
+    dp = get_diffusion_params(steps, config)
+
+    @jax.jit
+    def run(vars_, noise, seed):
+        fn = make_eval_model_fn(model, vars_)
+        return generate_trajectory_scan(
+            fn, noise, steps, dp["alphas"], seed, guidance_scale=3.0
+        )
+
+    shape = (batch, config.image_size, config.image_size, config.channels)
+    key = jax.random.PRNGKey(0)
+    times = []
+    for i in range(iters + 1):
+        key, nk = jax.random.split(key)
+        noise = jax.random.normal(nk, shape)
+        t0 = time.perf_counter()
+        traj = run(variables, noise, jnp.int32(1234 + i))
+        # host-read barrier that depends on the full computation
+        _ = np.asarray(traj[-1, :2, :2, :2, 0])
+        dt = time.perf_counter() - t0
+        if i > 0:  # first call pays compile
+            times.append(dt)
+    dt = float(np.median(times))
+    return batch / dt, dt
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--rounds", type=int, default=2)
+    parser.add_argument("--epochs", type=int, default=3)
+    parser.add_argument("--timesteps", type=int, default=50)
+    parser.add_argument("--limit_batches", type=int, default=None)
+    parser.add_argument("--batch", type=int, default=256)
+    parser.add_argument("--quality_samples", type=int, default=8)
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from distillation_trajectories_tpu import Config
+    from distillation_trajectories_tpu.diffusion import (
+        generate_trajectory_scan,
+        get_diffusion_params,
+    )
+    from distillation_trajectories_tpu.training import progressive_distill
+    from distillation_trajectories_tpu.training.state import make_eval_model_fn
+    from distillation_trajectories_tpu.utils.viz import save_image_grid
+
+    config = Config()
+    config.teacher_steps = args.timesteps
+    if args.limit_batches:
+        config.limit_batches_per_epoch = args.limit_batches
+    config.create_directories()
+    out_dir = os.path.join(config.results_dir, "progressive")
+    os.makedirs(out_dir, exist_ok=True)
+
+    teacher_model, teacher_vars = load_teacher_from_arg(config, None)
+
+    t0 = time.perf_counter()
+    model, fast_vars, fast_steps = progressive_distill(
+        config,
+        teacher_model,
+        teacher_vars,
+        rounds=args.rounds,
+        seed=0,
+        epochs_per_round=args.epochs,
+    )
+    train_s = time.perf_counter() - t0
+
+    result = {
+        "teacher_steps": args.timesteps,
+        "final_steps": fast_steps,
+        "rounds": args.rounds,
+        "epochs_per_round": args.epochs,
+        "train_seconds": round(train_s, 1),
+        "throughput": {},
+        "quality": {},
+    }
+
+    # Throughput at each step count (same architecture, different T).
+    for steps, variables in [
+        (args.timesteps, teacher_vars),
+        (fast_steps, fast_vars),
+    ]:
+        tps, dt = measure_traj_per_s(
+            model, variables, steps, config, batch=args.batch
+        )
+        result["throughput"][str(steps)] = {
+            "traj_per_s": round(tps, 1), "batch_seconds": round(dt, 4),
+        }
+        print(f"[progressive] T={steps}: {tps:.1f} traj/s")
+
+    # Quality: same starting noise, teacher T-step chain vs student chain.
+    n = args.quality_samples
+    noise = jax.random.normal(
+        jax.random.PRNGKey(7),
+        (n, config.image_size, config.image_size, config.channels),
+    )
+    dp_t = get_diffusion_params(args.timesteps, config)
+    dp_s = get_diffusion_params(fast_steps, config)
+    t_final = generate_trajectory_scan(
+        make_eval_model_fn(teacher_model, teacher_vars), noise,
+        args.timesteps, dp_t["alphas"], seed=11,
+    )[-1]
+    s_final = generate_trajectory_scan(
+        make_eval_model_fn(model, fast_vars), noise,
+        fast_steps, dp_s["alphas"], seed=11,
+    )[-1]
+    t_np, s_np = np.asarray(t_final), np.asarray(s_final)
+    endpoint_mse = float(np.mean((t_np - s_np) ** 2))
+    # distribution match of endpoint pixel statistics
+    result["quality"] = {
+        "endpoint_mse": endpoint_mse,
+        "teacher_mean": float(t_np.mean()), "teacher_std": float(t_np.std()),
+        "student_mean": float(s_np.mean()), "student_std": float(s_np.std()),
+    }
+    save_image_grid(
+        t_np, os.path.join(out_dir, f"teacher_T{args.timesteps}.png"), nrow=4
+    )
+    save_image_grid(
+        s_np, os.path.join(out_dir, f"student_T{fast_steps}.png"), nrow=4
+    )
+
+    path = os.path.join(config.results_dir, "bench_progressive.json")
+    with open(path, "w") as f:
+        json.dump(result, f, indent=2)
+        f.write("\n")
+    print(f"[progressive] wrote {path}")
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
