@@ -50,8 +50,12 @@ def compute_real_metrics(config, size_factors, guidance_scales, num_samples,
         import jax
         import jax.numpy as jnp
 
+        from distillation_trajectories_tpu.diffusion.sampling import (
+            CFG_COND_PAIRS,
+            NOCFG_COND_PAIRS,
+        )
         from distillation_trajectories_tpu.trajectories import (
-            make_paired_trajectory_fn,
+            make_sweep_trajectory_fn,
         )
 
         teacher_model, teacher_vars = load_teacher_from_arg(
@@ -62,14 +66,15 @@ def compute_real_metrics(config, size_factors, guidance_scales, num_samples,
         return None
 
     seeds = jnp.arange(num_samples, dtype=jnp.int32)
-    noises = jnp.stack(
-        [
-            jax.random.normal(
-                jax.random.PRNGKey(i),
-                (config.image_size, config.image_size, config.channels),
-            )
-            for i in range(num_samples)
-        ]
+    shape = (config.image_size, config.image_size, config.channels)
+    noises = jax.jit(
+        jax.vmap(lambda s: jax.random.normal(jax.random.PRNGKey(s), shape))
+    )(seeds)
+    # One unified graph per model (runtime cond-pair table selects CFG);
+    # teacher chains are generated once per (sf, gs) pair here to keep the
+    # reference's loop shape — the teacher fn itself compiles once.
+    teacher_fn = make_sweep_trajectory_fn(
+        teacher_model, teacher_vars, config.timesteps, config
     )
 
     cosine, euclid = {}, {}
@@ -79,16 +84,16 @@ def compute_real_metrics(config, size_factors, guidance_scales, num_samples,
         except FileNotFoundError:
             print(f"No student for size {sf}; skipping")
             continue
-        fns = {
-            u: make_paired_trajectory_fn(
-                teacher_model, teacher_vars, student_model, student_vars,
-                config.timesteps, config, use_cfg=u,
-            )
-            for u in (True, False)
-        }
+        student_fn = make_sweep_trajectory_fn(
+            student_model, student_vars, config.timesteps, config
+        )
         cos_row, euc_row = [], []
         for gs in guidance_scales:
-            t, s = fns[gs > 1.0](noises, seeds, jnp.float32(gs))
+            pairs = jnp.asarray(
+                CFG_COND_PAIRS if gs > 1.0 else NOCFG_COND_PAIRS
+            )
+            t = teacher_fn(noises, seeds, pairs, jnp.float32(gs))
+            s = student_fn(noises, seeds, pairs, jnp.float32(gs))
             tf = t.reshape(t.shape[0], t.shape[1], -1)
             sf_flat = s.reshape(s.shape[0], s.shape[1], -1)
             tn = tf / jnp.linalg.norm(tf, axis=-1, keepdims=True)

@@ -227,8 +227,12 @@ def main():
     import jax.numpy as jnp
 
     from distillation_trajectories_tpu import Config
+    from distillation_trajectories_tpu.diffusion.sampling import (
+        CFG_COND_PAIRS,
+        NOCFG_COND_PAIRS,
+    )
     from distillation_trajectories_tpu.trajectories import (
-        make_paired_trajectory_fn,
+        make_sweep_trajectory_fn,
     )
 
     config = Config()
@@ -241,30 +245,32 @@ def main():
     teacher_model, teacher_vars = load_teacher_from_arg(config, args.teacher_model)
     student_model, student_vars = load_student(config, args.size_factor)
 
-    # Seeded noise/seed batch shared across guidance scales (ref :452-460)
-    seeds = np.arange(args.seed, args.seed + args.num_samples, dtype=np.int32)
-    noises = jnp.stack(
-        [
-            jax.random.normal(
-                jax.random.PRNGKey(int(s)),
-                (config.image_size, config.image_size, config.channels),
-            )
-            for s in seeds
-        ]
-    )
-    seeds = jnp.asarray(seeds)
+    # Seeded noise/seed batch shared across guidance scales (ref :452-460);
+    # one vmapped draw (row i == the scalar call with seed args.seed+i).
+    seeds = jnp.arange(args.seed, args.seed + args.num_samples, dtype=jnp.int32)
+    shape = (config.image_size, config.image_size, config.channels)
+    noises = jax.jit(
+        jax.vmap(lambda s: jax.random.normal(jax.random.PRNGKey(s), shape))
+    )(seeds)
 
-    pair_fns = {
-        use_cfg: make_paired_trajectory_fn(
-            teacher_model, teacher_vars, student_model, student_vars,
-            config.timesteps, config, use_cfg=use_cfg,
-        )
-        for use_cfg in (True, False)
+    # One unified graph per model (CFG choice is the runtime cond-pair
+    # table; see engine.make_sweep_trajectory_fn) — teacher and student
+    # chains share per-step (seed, t) fold-in noise exactly like the old
+    # paired graph.
+    fns = {
+        "teacher": make_sweep_trajectory_fn(
+            teacher_model, teacher_vars, config.timesteps, config
+        ),
+        "student": make_sweep_trajectory_fn(
+            student_model, student_vars, config.timesteps, config
+        ),
     }
 
     teacher_trajs, student_trajs = {}, {}
     for gs in guidance_scales:
-        t, s = pair_fns[gs > 1.0](noises, seeds, jnp.float32(gs))
+        pairs = jnp.asarray(CFG_COND_PAIRS if gs > 1.0 else NOCFG_COND_PAIRS)
+        t = fns["teacher"](noises, seeds, pairs, jnp.float32(gs))
+        s = fns["student"](noises, seeds, pairs, jnp.float32(gs))
         # elementwise average across samples (ref :462-486)
         teacher_trajs[gs] = np.asarray(jnp.mean(t, axis=0))
         student_trajs[gs] = np.asarray(jnp.mean(s, axis=0))

@@ -102,10 +102,15 @@ def main():
                     if k != "cfg_sweep":
                         stages[k] = v
     if not args.skip_training:
+        # Training stages carry timeouts too: a dropped tunnel RPC inside a
+        # train loop (observed round 3: students hung mid-epoch with no
+        # stage deadline) must become a retry, not an indefinite hang.
         stages["teacher"] = run_stage(
             "teacher",
             [py, "scripts/train_teacher.py", "--epochs", str(args.epochs_teacher)],
             log_dir,
+            timeout=1800,
+            retries=1,
         )
         if not stages["teacher"]["ok"]:
             _write(args.tag, stages, t_start, ok=False)
@@ -118,6 +123,8 @@ def main():
                 "--custom_size_factors", SIZE_FACTORS,
             ],
             log_dir,
+            timeout=3600,
+            retries=1,
         )
         if not stages["students"]["ok"]:
             _write(args.tag, stages, t_start, ok=False)
