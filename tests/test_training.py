@@ -125,6 +125,47 @@ def test_async_checkpoint_writer_donation_safe(test_config, tmp_path):
     assert not os.path.exists(os.path.join(d, "model_epoch_1.msgpack.tmp"))
 
 
+def test_async_checkpoint_writer_surfaces_failures(test_config, tmp_path):
+    """A failed background save raises on the NEXT save() (not silently at
+    close), flush joins ALL futures before raising, and close still shuts
+    the pool down after a failure (round-2 advisor finding)."""
+    import pytest
+
+    from distillation_trajectories_tpu.training import AsyncCheckpointWriter
+
+    model, variables, tx, state = _setup(test_config)
+
+    # Unwritable directory target: the background write must fail.
+    blocked = tmp_path / "blocked"
+    blocked.write_text("a file, not a directory")
+    writer = AsyncCheckpointWriter()
+    writer.save(str(blocked), 1, state.params)
+    import time as _t
+
+    for _ in range(100):  # let the background write settle
+        if not writer._futures or writer._futures[0].done():
+            break
+        _t.sleep(0.05)
+    with pytest.raises(Exception):
+        writer.save(str(tmp_path / "ok"), 2, state.params)
+    # close() must not hang or leak the pool even after failures.
+    try:
+        writer.close()
+    except Exception:
+        pass
+    assert writer._pool._shutdown
+
+    # Healthy writer: flush is clean and joins everything.
+    w2 = AsyncCheckpointWriter()
+    d = str(tmp_path / "healthy")
+    w2.save(d, 1, state.params)
+    w2.save(d, 2, state.params)
+    w2.flush()
+    assert not w2._futures
+    w2.close()
+    assert os.path.exists(os.path.join(d, "model_epoch_2.msgpack"))
+
+
 def test_data_loader(test_config):
     from distillation_trajectories_tpu.data import get_data_loader, get_real_images
 
