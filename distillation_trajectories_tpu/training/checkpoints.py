@@ -187,8 +187,23 @@ def load_checkpoint(directory: str, epoch: Optional[int] = None) -> Dict[str, An
 
 
 def variables_from_checkpoint(payload: Dict[str, Any]) -> Dict[str, Any]:
-    """Flax variables dict ({'params', 'batch_stats'}) from a checkpoint payload."""
-    variables = {"params": payload["params"]}
+    """Flax variables dict ({'params', 'batch_stats'}) from a checkpoint payload.
+
+    Leaves are materialized as DEVICE arrays: msgpack deserialization yields
+    numpy, and numpy trees passed as jit ARGUMENTS (the
+    variables-as-args pattern, engine._VariablesAsArgFn /
+    state._DistillStep) are re-uploaded host→device on every call — ~37 MB
+    per train step / sweep dispatch for the sf=1.0 teacher, which over the
+    tunneled backend turned 3 s epochs into 200 s ones when the transfer
+    cache didn't hold.  One device_put here makes every downstream call
+    pass buffer handles instead.
+    """
+    import jax.numpy as jnp
+
+    def to_device(tree):
+        return jax.tree_util.tree_map(jnp.asarray, tree)
+
+    variables = {"params": to_device(payload["params"])}
     if "batch_stats" in payload:
-        variables["batch_stats"] = payload["batch_stats"]
+        variables["batch_stats"] = to_device(payload["batch_stats"])
     return variables
