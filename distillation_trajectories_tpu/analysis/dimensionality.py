@@ -46,9 +46,12 @@ def umap_fallback_embedding(
     k-NN graph with per-point adaptive bandwidth (binary-searched so the
     neighbor weights sum to log2(k)), symmetrized by probabilistic t-conorm,
     initialized with the normalized-Laplacian spectral layout, then refined
-    with UMAP's attractive/repulsive force pairs.  Not a drop-in numerical
-    replacement for umap-learn (no negative-sampling schedule, dense graph),
-    but a faithful small-N rendition of the same embedding objective.
+    with umap-learn's optimization schedule — per-edge sampling proportional
+    to membership strength, both endpoints moved, and
+    ``negative_sample_rate`` random repulsions per sampled edge with the
+    same clipped gradient forms.  Still not bit-compatible with umap-learn
+    (different RNG streams, dense rather than CSR bookkeeping), but the
+    embedding objective AND the optimization schedule now match.
     """
     rng = np.random.default_rng(random_state)
     n = len(data)
@@ -106,23 +109,46 @@ def umap_fallback_embedding(
                 best, ab = err, (a, b)
     a, b = ab
 
-    # Force refinement: attract fuzzy-graph edges, repel sampled non-edges.
+    # Force refinement with umap-learn's negative-sampling schedule: each
+    # epoch samples edges with probability P_e / P_max (umap-learn's
+    # epochs_per_sample in expectation), attracts both endpoints along each
+    # sampled edge, and repels the head from `negative_sample_rate` uniform
+    # random points per sampled edge.  Gradient forms and the per-component
+    # clip to [-4, 4] match umap-learn's layouts.optimize_layout_euclidean.
+    negative_sample_rate = 5
+    heads, tails = np.nonzero(np.triu(P, 1))
+    weights = P[heads, tails]
+    if len(heads) == 0:
+        return emb
+    sample_prob = weights / weights.max()
     alpha0 = 1.0
     for epoch in range(n_epochs):
         alpha = alpha0 * (1.0 - epoch / n_epochs)
-        diff = emb[:, None, :] - emb[None, :, :]
+        picked = rng.random(len(heads)) < sample_prob
+        if not picked.any():
+            continue
+        i, j = heads[picked], tails[picked]
+
+        # Attraction: move i toward j and j toward i.
+        diff = emb[i] - emb[j]
         dd2 = np.sum(diff**2, axis=-1) + 1e-12
-        # umap-learn update: emb_i += alpha * coeff * (emb_i - emb_j), with
-        # negative attractive coeff (pull toward edges) and positive
-        # repulsive coeff (push from non-edges).
-        grad_coeff_a = (-2.0 * a * b * dd2 ** (b - 1.0)) / (1.0 + a * dd2**b)
-        ga = (P * grad_coeff_a)[:, :, None] * diff
-        grad_coeff_r = (2.0 * b) / ((0.001 + dd2) * (1.0 + a * dd2**b))
-        gr = ((1.0 - P) * grad_coeff_r)[:, :, None] * diff
-        g = np.clip(ga, -4.0, 4.0).sum(axis=1) + (
-            0.01 * np.clip(gr, -4.0, 4.0).sum(axis=1)
-        )
-        emb = emb + alpha * g
+        coeff = (-2.0 * a * b * dd2 ** (b - 1.0)) / (1.0 + a * dd2**b)
+        grad = np.clip(coeff[:, None] * diff, -4.0, 4.0)
+        np.add.at(emb, i, alpha * grad)
+        np.add.at(emb, j, -alpha * grad)
+
+        # Repulsion: for each sampled edge, negative_sample_rate uniform
+        # random "non-neighbors" push the head away.
+        m = len(i)
+        neg_i = np.repeat(i, negative_sample_rate)
+        neg_k = rng.integers(0, n, size=m * negative_sample_rate)
+        keep = neg_i != neg_k
+        neg_i, neg_k = neg_i[keep], neg_k[keep]
+        diff = emb[neg_i] - emb[neg_k]
+        dd2 = np.sum(diff**2, axis=-1) + 1e-12
+        coeff = (2.0 * b) / ((0.001 + dd2) * (1.0 + a * dd2**b))
+        grad = np.clip(coeff[:, None] * diff, -4.0, 4.0)
+        np.add.at(emb, neg_i, alpha * grad)
     return emb
 
 
