@@ -46,8 +46,11 @@ def measure_traj_per_s(model, variables, steps, config, batch=256, iters=3):
     @jax.jit
     def run(vars_, noise, seed):
         fn = make_eval_model_fn(model, vars_)
+        # No-CFG chains: the progressive student is trained on the
+        # deterministic no-CFG map (cond 0, mask 0), so throughput and
+        # quality are compared on that path for both models.
         return generate_trajectory_scan(
-            fn, noise, steps, dp["alphas"], seed, guidance_scale=3.0
+            fn, noise, steps, dp["alphas"], seed, guidance_scale=None
         )
 
     shape = (batch, config.image_size, config.image_size, config.channels)
