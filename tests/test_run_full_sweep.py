@@ -1,0 +1,42 @@
+"""Bookkeeping of the timed full-workload runner (scripts/run_full_sweep.py)."""
+
+import importlib
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+
+
+def test_write_speedup_math(tmp_path, monkeypatch):
+    """SWEEP json totals and the reference-equivalent speedup derive from
+    the measured reference rate with the T=100/T=50 scaling."""
+    rfs = importlib.import_module("run_full_sweep")
+    monkeypatch.setattr(rfs, "project_root", str(tmp_path))
+    with open(tmp_path / ".bench_baseline.json", "w") as f:
+        json.dump({"ref_traj_per_sec_cpu": 0.4}, f)
+
+    stages = {
+        "teacher": {"ok": True, "seconds": 100.0, "cmd": "t"},
+        "students": {"ok": True, "seconds": 200.0, "cmd": "s"},
+        "cfg_sweep": {"ok": True, "seconds": 160.0, "cmd": "c"},
+        "trio": {"ok": True, "seconds": 50.0, "cmd": "tr"},
+        "fid": {"ok": True, "seconds": 90.0, "cmd": "f"},
+    }
+    rfs._write("rtest", stages, time.time(), ok=True)
+
+    with open(tmp_path / "SWEEP_rtest.json") as f:
+        payload = json.load(f)
+    assert payload["ok"] is True
+    assert payload["total_seconds"] == 600.0
+    # 1600 chains at T=100 = 2x the benched T=50 trajectory each.
+    assert payload["reference_equiv_sweep_seconds"] == round(
+        1600 * 2 / 0.4, 1
+    )
+    assert payload["sweep_speedup_vs_reference"] == round(
+        (1600 * 2 / 0.4) / 160.0, 1
+    )
+    # Workload description covers all five BASELINE configs.
+    wl = payload["workload"]
+    assert "trio" in wl and "fid" in wl and "cfg_sweep" in wl
