@@ -13,6 +13,7 @@ from .fid import (
     InceptionModel,
     calculate_fid,
     calculate_and_visualize_fid,
+    fid_across_sizes,
     generate_samples,
 )
 from .evaluation import (

@@ -138,11 +138,29 @@ def calculate_and_visualize_fid(
     student_samples = generate_samples(
         student_model, student_variables, config, num_samples, k2, fixed_samples
     )
+    return _fid_report(
+        teacher_samples, student_samples, size_factor, output_dir, inception
+    )
 
+
+def _fid_report(
+    teacher_samples,
+    student_samples,
+    size_factor,
+    output_dir,
+    inception: Optional["InceptionModel"] = None,
+    teacher_features: Optional[np.ndarray] = None,
+) -> Dict[str, float]:
+    """Features → FID → side-by-side grid + txt for one size factor.
+
+    ``teacher_features`` short-circuits re-extraction when the caller holds
+    one teacher sample set fixed across many students
+    (:func:`fid_across_sizes`)."""
     print("  Extracting features using InceptionV3...")
     if inception is None:
         inception = InceptionModel()
-    teacher_features = inception.get_features(teacher_samples)
+    if teacher_features is None:
+        teacher_features = inception.get_features(teacher_samples)
     student_features = inception.get_features(student_samples)
 
     print("  Calculating FID score...")
@@ -186,3 +204,88 @@ def calculate_and_visualize_fid(
         f.write(f"FID Score: {fid_score:.4f}\n")
 
     return {"fid_score": fid_score}
+
+
+def make_sample_fn(model, config, num_samples: int):
+    """Jitted ``fn(variables, key) -> samples [N,H,W,C]`` with variables as
+    jit ARGUMENTS (see utils.compile_pool.VariablesAsArgFn for why), exposing
+    ``lower()`` so a batch of per-architecture samplers can be AOT-compiled
+    concurrently."""
+    from ..diffusion import get_diffusion_params, p_sample_loop
+    from ..training.state import make_eval_model_fn
+
+    dp = get_diffusion_params(config.sample_steps, config)
+    shape = (num_samples, config.image_size, config.image_size, config.channels)
+
+    def sample(vars_, key):
+        model_fn = make_eval_model_fn(model, vars_)
+        return p_sample_loop(
+            model_fn, shape, config.sample_steps, dp, key,
+            num_timesteps=config.timesteps,
+        )
+
+    return jax.jit(sample)
+
+
+def fid_across_sizes(
+    teacher_model,
+    teacher_variables,
+    students,
+    config,
+    inception: Optional[InceptionModel] = None,
+    num_samples: int = 50,
+    seed: int = 0,
+    precompile: bool = True,
+) -> Dict[float, float]:
+    """FID for many student sizes against one teacher, compile-pooled.
+
+    ``students`` maps ``size_factor -> (model, variables)``.  Semantics are
+    identical to calling :func:`calculate_and_visualize_fid` per size with
+    the same ``seed`` (which re-generates the SAME teacher samples every
+    time — here they are generated and featurized once), but the 13+1
+    distinct sampling graphs are traced once each and compiled concurrently
+    (utils.compile_pool), instead of serial trace+compile per size — the
+    round-3 workload's FID stage was ~36% of total wall, dominated by those
+    serial compiles.  Per-size artifacts (grid PNG + txt) are unchanged.
+    """
+    from ..utils.compile_pool import VariablesAsArgFn, compile_concurrently
+
+    if inception is None:
+        inception = InceptionModel()
+
+    key = jax.random.PRNGKey(seed)
+    k1, k2 = jax.random.split(key)
+
+    teacher_fn = VariablesAsArgFn(
+        make_sample_fn(teacher_model, config, num_samples), teacher_variables
+    )
+    student_fns = {
+        sf: VariablesAsArgFn(
+            make_sample_fn(model, config, num_samples), variables
+        )
+        for sf, (model, variables) in students.items()
+    }
+
+    if precompile:
+        compile_concurrently(
+            [lambda fn=fn, k=k: fn.lower(k)
+             for fn, k in ([(teacher_fn, k1)]
+                           + [(fn, k2) for fn in student_fns.values()])],
+            label="fid samplers",
+        )
+
+    teacher_samples = teacher_fn(k1)
+    teacher_features = inception.get_features(teacher_samples)
+
+    fid_by_size: Dict[float, float] = {}
+    for sf, fn in student_fns.items():
+        output_dir = os.path.join(config.analysis_dir, "fid", f"size_{sf}")
+        os.makedirs(output_dir, exist_ok=True)
+        print(f"Calculating FID scores for size factor {sf}...")
+        student_samples = fn(k2)
+        result = _fid_report(
+            teacher_samples, student_samples, sf, output_dir,
+            inception=inception, teacher_features=teacher_features,
+        )
+        fid_by_size[sf] = result["fid_score"]
+    return fid_by_size

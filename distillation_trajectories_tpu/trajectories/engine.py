@@ -28,6 +28,7 @@ from ..metrics.trajectory_metrics import _metrics_core, compute_trajectory_metri
 from ..parallel import mesh_from_config
 from ..parallel.mesh import DATA_AXIS, batch_sharding
 from ..training.state import make_eval_model_fn
+from ..utils.compile_pool import VariablesAsArgFn as _VariablesAsArgFn
 
 
 def _store_dtype(config):
@@ -95,30 +96,6 @@ def generate_trajectory(
         store_dtype=_store_dtype(config),
         use_pallas=getattr(config, "pallas_cfg_update", False),
     )
-
-
-class _VariablesAsArgFn:
-    """Callable wrapping a jitted fn whose first argument is the variables
-    pytree, pre-binding that tree while keeping ``lower()`` for AOT pools.
-
-    Why variables are ARGUMENTS and not closure constants: closed-over
-    param trees get embedded in the lowered IR, and the axon backend hashes
-    the full module for its server-side compile cache on EVERY compile —
-    canonicalizing ~40 MB of inline constants took minutes (watchdog stack:
-    jax/_src/cache_key.py::_canonicalize_ir) and changed the cache key
-    whenever param VALUES changed, defeating cross-run compile reuse.  As
-    arguments, only their avals appear in the IR.
-    """
-
-    def __init__(self, jitted, variables):
-        self._jitted = jitted
-        self._variables = variables
-
-    def __call__(self, *args):
-        return self._jitted(self._variables, *args)
-
-    def lower(self, *args):
-        return self._jitted.lower(self._variables, *args)
 
 
 def make_paired_trajectory_fn(

@@ -24,6 +24,30 @@ from typing import List, Sequence
 import jax
 
 
+class VariablesAsArgFn:
+    """Callable wrapping a jitted fn whose first argument is the variables
+    pytree, pre-binding that tree while keeping ``lower()`` for AOT pools.
+
+    Why variables are ARGUMENTS and not closure constants: closed-over
+    param trees get embedded in the lowered IR, and the axon backend hashes
+    the full module for its server-side compile cache on EVERY compile —
+    canonicalizing ~40 MB of inline constants took minutes (watchdog stack:
+    jax/_src/cache_key.py::_canonicalize_ir) and changed the cache key
+    whenever param VALUES changed, defeating cross-run compile reuse.  As
+    arguments, only their avals appear in the IR.
+    """
+
+    def __init__(self, jitted, variables):
+        self._jitted = jitted
+        self._variables = variables
+
+    def __call__(self, *args):
+        return self._jitted(self._variables, *args)
+
+    def lower(self, *args):
+        return self._jitted.lower(self._variables, *args)
+
+
 def arm_watchdog(seconds: float) -> None:
     """Arm (or re-arm) the hang watchdog for the current phase.
 

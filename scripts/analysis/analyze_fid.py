@@ -25,10 +25,8 @@ def main():
     args = parser.parse_args()
 
     from distillation_trajectories_tpu import Config
-    from distillation_trajectories_tpu.metrics import (
-        InceptionModel,
-        calculate_and_visualize_fid,
-    )
+    from distillation_trajectories_tpu.metrics import InceptionModel
+    from distillation_trajectories_tpu.metrics.fid import fid_across_sizes
 
     config = Config()
     if args.timesteps:
@@ -39,19 +37,17 @@ def main():
     teacher_model, teacher_vars = load_teacher_from_arg(config, args.teacher_model)
     inception = InceptionModel()
 
-    fid_by_size = {}
+    students = {}
     for sf in parse_float_list(args.size_factors):
         try:
-            student_model, student_vars = load_student(config, sf)
+            students[sf] = load_student(config, sf)
         except FileNotFoundError:
             print(f"No student model for size {sf}; skipping")
-            continue
-        result = calculate_and_visualize_fid(
-            teacher_model, student_model, config, size_factor=sf,
-            teacher_variables=teacher_vars, student_variables=student_vars,
-            inception=inception, num_samples=args.num_samples,
-        )
-        fid_by_size[sf] = result["fid_score"]
+
+    fid_by_size = fid_across_sizes(
+        teacher_model, teacher_vars, students, config,
+        inception=inception, num_samples=args.num_samples,
+    )
 
     if fid_by_size:
         import matplotlib

@@ -1,6 +1,8 @@
 """FID math and preprocessing tests (extractor forward exercised on TPU in
 the analysis CLIs; the full Inception compile is too slow for the CPU suite)."""
 
+import os
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -64,3 +66,54 @@ def test_inception_param_structure():
     # 2048-d output: Mixed_7c concat = 320+768+768+192
     final = params["Mixed_7c"]["branch_pool"]["conv"]["kernel"]
     assert final.shape[-1] == 192
+
+
+class _StubInception:
+    """Duck-typed feature extractor: mean-pooled patches, no Inception
+    compile (too slow for the CPU suite)."""
+
+    def get_features(self, images):
+        x = np.asarray(images, dtype=np.float64)
+        n = x.shape[0]
+        return x.reshape(n, -1)[:, :32]
+
+
+def test_fid_across_sizes_matches_per_size_path(test_config, tmp_path):
+    """The compile-pooled multi-size FID path must produce bit-identical
+    scores and artifacts to per-size calculate_and_visualize_fid calls
+    (same seed split, teacher samples fixed across sizes)."""
+    import jax
+
+    from distillation_trajectories_tpu.metrics.fid import (
+        calculate_and_visualize_fid,
+        fid_across_sizes,
+    )
+    from distillation_trajectories_tpu.models import make_unet
+
+    cfg = test_config
+    stub = _StubInception()
+
+    x0 = np.zeros((1, cfg.image_size, cfg.image_size, cfg.channels), np.float32)
+    t0 = np.zeros((1,), np.int32)
+    teacher = make_unet(cfg, size_factor=0.25)
+    tvars = teacher.init(jax.random.PRNGKey(0), x0, t0)
+    students = {}
+    for i, sf in enumerate([0.25, 0.5]):
+        m = make_unet(cfg, size_factor=sf)
+        students[sf] = (m, m.init(jax.random.PRNGKey(10 + i), x0, t0))
+
+    pooled = fid_across_sizes(
+        teacher, tvars, students, cfg, inception=stub, num_samples=4,
+        precompile=True,
+    )
+
+    for sf, (m, v) in students.items():
+        ref = calculate_and_visualize_fid(
+            teacher, m, cfg, size_factor=sf, teacher_variables=tvars,
+            student_variables=v, inception=stub, num_samples=4,
+        )
+        assert pooled[sf] == ref["fid_score"], sf
+        txt = os.path.join(
+            cfg.analysis_dir, "fid", f"size_{sf}", f"fid_score_size_{sf}.txt"
+        )
+        assert os.path.exists(txt)
