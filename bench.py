@@ -205,6 +205,20 @@ def run_device_bench(attempts=3, timeouts=(420, 900)):
 
 
 def main():
+    # Preflight: never benchmark into a dead or degraded tunnel (the known
+    # ~2.8 s/dispatch recovery mode inflates every number ~90x).  The probe
+    # runs in its own timeboxed subprocess, so a hung tunnel costs 90 s here
+    # instead of a full device-bench attempt timeout.
+    from distillation_trajectories_tpu.utils.tunnel import wait_for_device
+
+    probe = wait_for_device(max_wait=900.0, interval=60.0,
+                            log=lambda m: print(m, file=sys.stderr))
+    print(f"# preflight probe: {probe['status']} ({probe['detail']})",
+          file=sys.stderr)
+    # Even 'down'/'degraded' proceeds — the attempt loop below has its own
+    # timeouts and the tunnel may recover mid-run — but the probe result is
+    # on record so a bad number is explainable.
+
     result = run_device_bench()
     ours = result["ours"]
     pairs_per_s = result.get("pairs_per_s")

@@ -35,6 +35,11 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from _common import project_root  # noqa: E402
 
+from distillation_trajectories_tpu.utils.tunnel import (  # noqa: E402
+    probe_device,
+    wait_for_device,
+)
+
 SIZE_FACTORS = "0.01,0.05,0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.75,0.8,0.9,1.0"
 
 
@@ -44,7 +49,9 @@ def run_stage(name, cmd, log_dir, timeout=None, retries=1):
     The tunneled TPU backend occasionally drops an RPC mid-compile and the
     client call never returns (see engine._sweep_compare_impl watchdog);
     a timed-out or crashed stage is treated as transient and retried once
-    from scratch before being reported as failed.
+    from scratch before being reported as failed.  Before a retry the
+    device is re-probed: if the stage died because the tunnel went down,
+    retrying into a dead tunnel would just burn the stage timeout again.
     """
     log_path = os.path.join(log_dir, f"sweep_{name}.log")
     print(f"[sweep] stage {name}: {' '.join(cmd)}")
@@ -52,6 +59,10 @@ def run_stage(name, cmd, log_dir, timeout=None, retries=1):
     t0 = time.time()
     ok = False
     for attempt in range(retries + 1):
+        if attempt > 0:
+            probe = wait_for_device(max_wait=900.0, interval=60.0)
+            print(f"[sweep] pre-retry probe: {probe['status']} "
+                  f"({probe['detail']})")
         # Append with a banner so a failed attempt's log survives the retry.
         with open(log_path, "a") as log:
             log.write(f"\n===== attempt {attempt + 1} =====\n")
@@ -89,6 +100,20 @@ def main():
     log_dir = os.path.join(project_root, "output", "results")
     os.makedirs(log_dir, exist_ok=True)
     py = sys.executable
+
+    # Refuse to start a measured workload on a dead or degraded tunnel:
+    # numbers taken in the ~2.8 s/dispatch recovery mode are garbage
+    # (observed: 2-5 s distill epochs become 170-250 s).  Wait up to 30 min
+    # for recovery, then abort with the probe recorded so the failure is
+    # diagnosable from the SWEEP json alone.
+    probe = probe_device()
+    if probe["status"] != "ok":
+        print(f"[sweep] device {probe['status']}: {probe['detail']}; waiting")
+        probe = wait_for_device(max_wait=1800.0, interval=120.0)
+    print(f"[sweep] preflight probe: {probe['status']} ({probe['detail']})")
+    if probe["status"] != "ok":
+        _write(args.tag, {}, time.time(), ok=False, probe=probe)
+        sys.exit(1)
 
     stages = {}
     t_start = time.time()
@@ -163,11 +188,11 @@ def main():
         retries=2,
     )
     ok = all(stages[k]["ok"] for k in ("cfg_sweep", "trio", "fid"))
-    _write(args.tag, stages, t_start, ok=ok)
+    _write(args.tag, stages, t_start, ok=ok, probe=probe)
     sys.exit(0 if ok else 1)
 
 
-def _write(tag, stages, t_start, ok):
+def _write(tag, stages, t_start, ok, probe=None):
     # Sum of stage wall-clocks (== end-to-end wall for a full run; for a
     # --skip-training rerun it still reflects the whole workload because
     # training stages are carried forward from the previous SWEEP json).
@@ -191,6 +216,7 @@ def _write(tag, stages, t_start, ok):
         "tag": tag,
         "ok": ok,
         "total_seconds": round(total, 1),
+        "preflight_probe": probe,
         "stages": stages,
         "workload": {
             "teacher_epochs": "see stages",

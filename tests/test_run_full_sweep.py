@@ -40,3 +40,31 @@ def test_write_speedup_math(tmp_path, monkeypatch):
     # Workload description covers all five BASELINE configs.
     wl = payload["workload"]
     assert "trio" in wl and "fid" in wl and "cfg_sweep" in wl
+
+
+def test_preflight_aborts_on_dead_tunnel(tmp_path, monkeypatch):
+    """main() refuses to start a measured run when the device probe never
+    recovers, and records the probe verdict in the SWEEP json."""
+    rfs = importlib.import_module("run_full_sweep")
+    monkeypatch.setattr(rfs, "project_root", str(tmp_path))
+    bad = {"status": "down", "rtt_s": None, "init_s": None, "platform": None,
+           "detail": "probe timed out after 90s (hung tunnel RPC)"}
+    monkeypatch.setattr(rfs, "probe_device", lambda **kw: dict(bad))
+    monkeypatch.setattr(rfs, "wait_for_device", lambda **kw: dict(bad))
+
+    # No stage subprocess may ever launch on a dead tunnel.
+    def boom(*a, **kw):
+        raise AssertionError("stage launched despite dead tunnel")
+
+    monkeypatch.setattr(rfs, "run_stage", boom)
+    monkeypatch.setattr(sys, "argv", ["run_full_sweep.py", "--tag", "rdead"])
+    try:
+        rfs.main()
+    except SystemExit as e:
+        assert e.code == 1
+    else:
+        raise AssertionError("main() should exit non-zero")
+    with open(tmp_path / "SWEEP_rdead.json") as f:
+        payload = json.load(f)
+    assert payload["ok"] is False
+    assert payload["preflight_probe"]["status"] == "down"
