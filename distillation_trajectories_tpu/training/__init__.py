@@ -24,4 +24,8 @@ from .students import (
     print_size_factor_info,
 )
 from .continue_training import continue_training
-from .progressive import progressive_distill, make_progressive_distill_step
+from .progressive import (
+    progressive_distill,
+    make_progressive_distill_step,
+    make_guided_eval_fn,
+)

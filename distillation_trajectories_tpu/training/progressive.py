@@ -63,6 +63,22 @@ def _engine_c(alpha_t, alpha_prev):
     return c1, c2
 
 
+def make_guided_eval_fn(model, variables, guidance_value: float):
+    """Eval-mode model fn for a w-CONDITIONED student: ignores the sampler's
+    (cond, cond_mask) inputs and feeds ``cond=w, mask=1`` so
+    ``generate_trajectory_scan(..., guidance_scale=None)`` runs the guided
+    map in a SINGLE forward per step — the student's replacement for the
+    teacher's two-forward CFG combine at scale w."""
+    base = make_eval_model_fn(model, variables)
+
+    def fn(x, t, cond, cond_mask):
+        b = x.shape[0]
+        w = jnp.full((b, 1), guidance_value, dtype=x.dtype)
+        return base(x, t, w, jnp.ones((b, 1), dtype=x.dtype))
+
+    return fn
+
+
 def make_progressive_distill_step(
     teacher_model,
     student_model,
@@ -71,6 +87,8 @@ def make_progressive_distill_step(
     student_alphas: jnp.ndarray,
     teacher_steps: int,
     teacher_cumprod_params,
+    guidance_range: Optional[Tuple[float, float]] = None,
+    teacher_guided: bool = False,
 ):
     """Jitted progressive-distillation step factory.
 
@@ -82,6 +100,17 @@ def make_progressive_distill_step(
     x-space loss is weighted per sample by min(1, C2²/1e-4) — the
     truncated-SNR idea of Salimans & Ho §3.2 — so near-zero-C2 steps don't
     dominate via the 1/C2² amplification in ε̂*.
+
+    ``guidance_range=(lo, hi)`` switches on GUIDED distillation in the
+    style of Meng et al. 2023 ("On Distillation of Guided Diffusion
+    Models"): a per-sample w ~ U[lo, hi] is drawn, the teacher's ε̂ at each
+    of the two composed steps is the CFG combine u + w·(c − u) (the engine
+    sampler's two-forward formulation, trajectory_engine.py:68-80), and the
+    student is conditioned on w directly through the model's cond pathway
+    (cond=w, mask=1) — one student forward replaces the teacher's two.
+    ``teacher_guided=True`` marks the teacher as ALREADY w-conditioned (a
+    previous guided round's student), evaluated in a single forward at
+    cond=w; later halvings therefore cost 2 teacher forwards, not 4.
 
     Returns a callable factory: ``make_...(...)(teacher_variables)`` gives
     ``step(state, images, key) -> (state, loss)`` with ``lower`` exposed for
@@ -95,7 +124,7 @@ def make_progressive_distill_step(
     def _step(t_vars, state: TrainState, images: jnp.ndarray, key: jax.Array):
         teacher_fn = make_eval_model_fn(teacher_model, t_vars)
         b = images.shape[0]
-        kj, kn, kd = jax.random.split(key, 3)
+        kj, kn, kd, kw = jax.random.split(key, 4)
         # Student step index j ∈ [1, S): reads student_alphas[j], [j-1] and
         # replaces teacher steps t=2j (alphas[2j], alphas[2j-1]) then
         # t=2j-1 (alphas[2j-1], alphas[2j-2]); t-2 = 2j-2 ≥ 0.
@@ -104,19 +133,42 @@ def make_progressive_distill_step(
 
         x_t, _ = q_sample(images, t, teacher_cumprod_params, kn)
         zeros = jnp.zeros((b, 1), dtype=images.dtype)
+        ones = jnp.ones((b, 1), dtype=images.dtype)
+
+        if guidance_range is not None:
+            lo, hi = guidance_range
+            w_cfg = jax.random.uniform(
+                kw, (b, 1), minval=lo, maxval=hi, dtype=images.dtype
+            )
+
+            def teacher_eps(x, tvec):
+                if teacher_guided:
+                    # Teacher is a previous guided round's student: already
+                    # w-conditioned, one forward.
+                    return teacher_fn(x, tvec, w_cfg, ones)
+                u = teacher_fn(x, tvec, zeros, ones)
+                c = teacher_fn(x, tvec, ones, ones)
+                return u + w_cfg[:, :, None, None] * (c - u)
+
+            student_cond, student_mask = w_cfg, ones
+        else:
+
+            def teacher_eps(x, tvec):
+                # No-CFG forward — cond 0, mask 0 — matching the engine
+                # sampler's gs≤1 path.
+                return teacher_fn(x, tvec, zeros, zeros)
+
+            student_cond, student_mask = zeros, zeros
 
         def bcast(v):
             return v.reshape(b, 1, 1, 1)
 
-        # Two deterministic teacher engine steps (no-CFG forward — cond 0,
-        # mask 0 — matching the engine sampler's gs≤1 path).
-        eps1 = jax.lax.stop_gradient(
-            teacher_fn(x_t, t.astype(jnp.float32), zeros, zeros)
-        )
+        # Two deterministic teacher engine steps.
+        eps1 = jax.lax.stop_gradient(teacher_eps(x_t, t.astype(jnp.float32)))
         c1a, c2a = _engine_c(teacher_alphas[t], teacher_alphas[t - 1])
         x_mid = bcast(c1a) * x_t - bcast(c2a) * eps1
         eps2 = jax.lax.stop_gradient(
-            teacher_fn(x_mid, (t - 1).astype(jnp.float32), zeros, zeros)
+            teacher_eps(x_mid, (t - 1).astype(jnp.float32))
         )
         c1b, c2b = _engine_c(teacher_alphas[t - 1], teacher_alphas[t - 2])
         x_target = bcast(c1b) * x_mid - bcast(c2b) * eps2
@@ -129,7 +181,7 @@ def make_progressive_distill_step(
             bs = state.batch_stats
             pred, bs = _train_apply(
                 student_model, params, bs, x_t, j.astype(jnp.float32),
-                zeros, zeros, kd,
+                student_cond, student_mask, kd,
             )
             per = jnp.mean((pred - eps_star) ** 2, axis=(1, 2, 3))
             w = jnp.minimum(1.0, (c2s * c2s) / 1e-4)
@@ -168,6 +220,7 @@ def progressive_distill(
     rounds: int = 1,
     seed: int = 0,
     epochs_per_round: Optional[int] = None,
+    guidance_range: Optional[Tuple[float, float]] = None,
 ) -> Tuple[object, dict, int]:
     """Iterated step-halving: returns (model, final_variables, final_steps).
 
@@ -179,6 +232,15 @@ def progressive_distill(
     ``<teacher_models_dir>/../progressive/steps_{n}/`` with the usual epoch
     naming, so ``generate_trajectory_scan(model, timesteps=n)`` reproduces
     the distilled sampler directly.
+
+    ``guidance_range=(lo, hi)`` additionally distills CLASSIFIER-FREE
+    GUIDANCE into the student (see make_progressive_distill_step): round 1
+    regresses onto the real teacher's two-forward CFG combine at per-sample
+    w ~ U[lo, hi]; every later round's teacher is the previous w-conditioned
+    student (single guided forward).  Checkpoints then land under
+    ``progressive_cfg/steps_{n}/`` and sampling uses
+    ``make_guided_eval_fn(model, vars, w)`` — ONE forward per step where the
+    CFG teacher pays two, on top of the step-count halving.
     """
     from ..data import get_data_loader
 
@@ -207,6 +269,11 @@ def progressive_distill(
                 dp_student["alphas"],
                 cur_steps,
                 dp_teacher,
+                guidance_range=guidance_range,
+                # Round 1's teacher is the real CFG teacher (two forwards);
+                # every later round's teacher is the previous w-conditioned
+                # student (one guided forward).
+                teacher_guided=(guidance_range is not None and r > 0),
             )(cur_vars)
             loader = get_data_loader(config, seed=seed + r)
             key = jax.random.PRNGKey(seed + 1000 * r)
@@ -236,8 +303,11 @@ def progressive_distill(
                 "params": state.params, "batch_stats": state.batch_stats
             }
             cur_steps = next_steps
+            ckpt_family = (
+                "progressive" if guidance_range is None else "progressive_cfg"
+            )
             writer.save(
-                os.path.join(config.models_dir, "progressive", f"steps_{cur_steps}"),
+                os.path.join(config.models_dir, ckpt_family, f"steps_{cur_steps}"),
                 epochs,
                 state.params,
                 batch_stats=state.batch_stats,

@@ -27,11 +27,17 @@ from _common import load_teacher_from_arg, project_root  # noqa: E402
 import numpy as np  # noqa: E402
 
 
-def measure_traj_per_s(model, variables, steps, config, batch=256, iters=3):
+def measure_traj_per_s(model, variables, steps, config, batch=256, iters=3,
+                       guidance_scale=None, guided_cond=None):
     """bench.py methodology: fresh seeds per timed call (the tunneled
     backend caches identical executions) and a host read that depends on
     the full computation as the barrier (block_until_ready can return
-    early over the tunnel)."""
+    early over the tunnel).
+
+    ``guidance_scale`` runs the two-forward CFG path (the real teacher's
+    guided sampler); ``guided_cond=w`` runs a w-CONDITIONED student in one
+    guided forward per step.  Both None = the no-CFG path.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -39,18 +45,21 @@ def measure_traj_per_s(model, variables, steps, config, batch=256, iters=3):
         generate_trajectory_scan,
         get_diffusion_params,
     )
+    from distillation_trajectories_tpu.training.progressive import (
+        make_guided_eval_fn,
+    )
     from distillation_trajectories_tpu.training.state import make_eval_model_fn
 
     dp = get_diffusion_params(steps, config)
 
     @jax.jit
     def run(vars_, noise, seed):
-        fn = make_eval_model_fn(model, vars_)
-        # No-CFG chains: the progressive student is trained on the
-        # deterministic no-CFG map (cond 0, mask 0), so throughput and
-        # quality are compared on that path for both models.
+        if guided_cond is not None:
+            fn = make_guided_eval_fn(model, vars_, guided_cond)
+        else:
+            fn = make_eval_model_fn(model, vars_)
         return generate_trajectory_scan(
-            fn, noise, steps, dp["alphas"], seed, guidance_scale=None
+            fn, noise, steps, dp["alphas"], seed, guidance_scale=guidance_scale
         )
 
     shape = (batch, config.image_size, config.image_size, config.channels)
@@ -78,6 +87,13 @@ def main():
     parser.add_argument("--limit_batches", type=int, default=None)
     parser.add_argument("--batch", type=int, default=256)
     parser.add_argument("--quality_samples", type=int, default=8)
+    parser.add_argument("--guidance_range", type=str, default=None,
+                        help="lo,hi: guided distillation — the student is "
+                        "w-conditioned and benched against the teacher's "
+                        "two-forward CFG sampler at --guidance")
+    parser.add_argument("--guidance", type=float, default=3.0,
+                        help="CFG scale for throughput/quality comparison "
+                        "in --guidance_range mode")
     args = parser.parse_args()
 
     import jax
@@ -101,6 +117,10 @@ def main():
     os.makedirs(out_dir, exist_ok=True)
 
     teacher_model, teacher_vars = load_teacher_from_arg(config, None)
+    grange = (
+        tuple(float(x) for x in args.guidance_range.split(","))
+        if args.guidance_range else None
+    )
 
     t0 = time.perf_counter()
     model, fast_vars, fast_steps = progressive_distill(
@@ -110,6 +130,7 @@ def main():
         rounds=args.rounds,
         seed=0,
         epochs_per_round=args.epochs,
+        guidance_range=grange,
     )
     train_s = time.perf_counter() - t0
 
@@ -119,24 +140,43 @@ def main():
         "rounds": args.rounds,
         "epochs_per_round": args.epochs,
         "train_seconds": round(train_s, 1),
+        "guidance_range": args.guidance_range,
+        "guidance": args.guidance if grange else None,
         "throughput": {},
         "quality": {},
     }
 
-    # Throughput at each step count (same architecture, different T).
-    for steps, variables in [
-        (args.timesteps, teacher_vars),
-        (fast_steps, fast_vars),
+    # Throughput at each step count.  Guided mode: the teacher pays the
+    # two-forward CFG path at scale w; the student answers with ONE guided
+    # forward per (halved) step.
+    w = args.guidance
+    for label, steps, variables, kw in [
+        (
+            f"teacher/T{args.timesteps}",
+            args.timesteps,
+            teacher_vars,
+            {"guidance_scale": w} if grange else {},
+        ),
+        (
+            f"student/T{fast_steps}",
+            fast_steps,
+            fast_vars,
+            {"guided_cond": w} if grange else {},
+        ),
     ]:
         tps, dt = measure_traj_per_s(
-            model, variables, steps, config, batch=args.batch
+            model, variables, steps, config, batch=args.batch, **kw
         )
         result["throughput"][str(steps)] = {
             "traj_per_s": round(tps, 1), "batch_seconds": round(dt, 4),
         }
-        print(f"[progressive] T={steps}: {tps:.1f} traj/s")
+        print(f"[progressive] {label}: {tps:.1f} traj/s")
 
     # Quality: same starting noise, teacher T-step chain vs student chain.
+    from distillation_trajectories_tpu.training.progressive import (
+        make_guided_eval_fn,
+    )
+
     n = args.quality_samples
     noise = jax.random.normal(
         jax.random.PRNGKey(7),
@@ -147,9 +187,12 @@ def main():
     t_final = generate_trajectory_scan(
         make_eval_model_fn(teacher_model, teacher_vars), noise,
         args.timesteps, dp_t["alphas"], seed=11,
+        guidance_scale=w if grange else None,
     )[-1]
     s_final = generate_trajectory_scan(
-        make_eval_model_fn(model, fast_vars), noise,
+        make_guided_eval_fn(model, fast_vars, w)
+        if grange else make_eval_model_fn(model, fast_vars),
+        noise,
         fast_steps, dp_s["alphas"], seed=11,
     )[-1]
     t_np, s_np = np.asarray(t_final), np.asarray(s_final)
@@ -160,14 +203,16 @@ def main():
         "teacher_mean": float(t_np.mean()), "teacher_std": float(t_np.std()),
         "student_mean": float(s_np.mean()), "student_std": float(s_np.std()),
     }
+    sfx = "_cfg" if grange else ""
     save_image_grid(
-        t_np, os.path.join(out_dir, f"teacher_T{args.timesteps}.png"), nrow=4
+        t_np, os.path.join(out_dir, f"teacher_T{args.timesteps}{sfx}.png"),
+        nrow=4,
     )
     save_image_grid(
-        s_np, os.path.join(out_dir, f"student_T{fast_steps}.png"), nrow=4
+        s_np, os.path.join(out_dir, f"student_T{fast_steps}{sfx}.png"), nrow=4
     )
 
-    path = os.path.join(config.results_dir, "bench_progressive.json")
+    path = os.path.join(config.results_dir, f"bench_progressive{sfx}.json")
     with open(path, "w") as f:
         json.dump(result, f, indent=2)
         f.write("\n")

@@ -36,6 +36,12 @@ def main():
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--limit_batches", type=int, default=None)
     parser.add_argument("--base_dir", type=str, default=None)
+    parser.add_argument("--guidance_range", type=str, default=None,
+                        help="lo,hi: ALSO distill classifier-free guidance "
+                        "into the student (w ~ U[lo,hi] per sample; the "
+                        "w-conditioned student replaces the teacher's two "
+                        "CFG forwards with one guided forward). Checkpoints "
+                        "go to progressive_cfg/steps_{n}/")
     args = parser.parse_args()
 
     from distillation_trajectories_tpu import Config
@@ -62,9 +68,15 @@ def main():
         rounds=args.rounds,
         seed=args.seed,
         epochs_per_round=args.epochs,
+        guidance_range=(
+            tuple(float(x) for x in args.guidance_range.split(","))
+            if args.guidance_range else None
+        ),
     )
     print(f"[progressive] done: fastest model samples in {steps} steps "
-          f"(teacher: {config.teacher_steps})")
+          f"(teacher: {config.teacher_steps})"
+          + (f", guidance-conditioned on w in [{args.guidance_range}]"
+             if args.guidance_range else ""))
 
 
 if __name__ == "__main__":

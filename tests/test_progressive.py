@@ -41,6 +41,105 @@ def test_eps_target_closed_form(test_config):
     np.testing.assert_allclose(x_student, x_target, rtol=1e-5, atol=1e-6)
 
 
+def test_guided_target_is_cfg_combine(test_config):
+    """Guided distillation's regression target composes two CFG-combined
+    teacher steps: with a teacher whose cond/uncond predictions are known
+    constants, the analytic ε̂* applied through the student's single engine
+    update lands exactly on the w-weighted two-step composition."""
+    from distillation_trajectories_tpu.training.progressive import _engine_c
+
+    T, S = 10, 5
+    dp_t = get_diffusion_params(T, test_config)
+    dp_s = get_diffusion_params(S, test_config)
+    a_t = np.asarray(dp_t["alphas"])
+    a_s = np.asarray(dp_s["alphas"])
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((2, 4, 4, 1)).astype(np.float32)
+    eps_u = rng.standard_normal((2, 4, 4, 1)).astype(np.float32)
+    eps_c = rng.standard_normal((2, 4, 4, 1)).astype(np.float32)
+    w = 3.5
+    eps_w = eps_u + w * (eps_c - eps_u)
+
+    j = 2
+    t = 2 * j
+    c1a, c2a = _engine_c(jnp.float32(a_t[t]), jnp.float32(a_t[t - 1]))
+    x_mid = float(c1a) * x - float(c2a) * eps_w
+    c1b, c2b = _engine_c(jnp.float32(a_t[t - 1]), jnp.float32(a_t[t - 2]))
+    x_target = float(c1b) * x_mid - float(c2b) * eps_w
+
+    c1s, c2s = _engine_c(jnp.float32(a_s[j]), jnp.float32(a_s[j - 1]))
+    eps_star = (float(c1s) * x - x_target) / float(c2s)
+    x_student = float(c1s) * x - float(c2s) * eps_star
+    np.testing.assert_allclose(x_student, x_target, rtol=1e-5, atol=1e-6)
+
+
+def test_make_guided_eval_fn_feeds_w(test_config):
+    """The guided wrapper ignores the sampler's cond/mask inputs and feeds
+    (w, 1) to the model — identical to calling the model with cond=w
+    directly, and different from the no-CFG (0, 0) path."""
+    from distillation_trajectories_tpu.training import make_guided_eval_fn
+    from distillation_trajectories_tpu.training.state import make_eval_model_fn
+
+    model = make_unet(test_config, size_factor=0.25)
+    variables = init_unet(model, test_config, jax.random.PRNGKey(0))
+    base = make_eval_model_fn(model, variables)
+    guided = make_guided_eval_fn(model, variables, guidance_value=4.0)
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 1))
+    t = jnp.full((2,), 3.0)
+    zeros = jnp.zeros((2, 1))
+    ones = jnp.ones((2, 1))
+    out_guided = guided(x, t, zeros, zeros)  # sampler passes (0, 0)
+    out_direct = base(x, t, jnp.full((2, 1), 4.0), ones)
+    np.testing.assert_allclose(
+        np.asarray(out_guided), np.asarray(out_direct), rtol=1e-6
+    )
+    out_nocfg = base(x, t, zeros, zeros)
+    assert not np.allclose(np.asarray(out_guided), np.asarray(out_nocfg))
+
+
+@pytest.mark.slow
+def test_guided_progressive_round(test_config):
+    """One GUIDED halving round end-to-end: trains through the real trainer
+    with w ~ U[1, 5], writes under progressive_cfg/, and the w-conditioned
+    student samples finitely in a single guided forward per step."""
+    import os
+
+    from distillation_trajectories_tpu.training import (
+        make_guided_eval_fn,
+        progressive_distill,
+    )
+
+    test_config.teacher_steps = 8
+    test_config.limit_batches_per_epoch = 2
+    test_config.create_directories()
+    teacher = make_unet(test_config, size_factor=0.25)
+    teacher_vars = init_unet(teacher, test_config, jax.random.PRNGKey(0))
+
+    model, variables, steps = progressive_distill(
+        test_config, teacher, teacher_vars, rounds=1, seed=0,
+        epochs_per_round=1, guidance_range=(1.0, 5.0),
+    )
+    assert steps == 4
+    assert os.path.exists(
+        os.path.join(
+            test_config.models_dir, "progressive_cfg", "steps_4",
+            "model_epoch_1.msgpack",
+        )
+    )
+    dp = get_diffusion_params(steps, test_config)
+    traj = generate_trajectory_scan(
+        make_guided_eval_fn(model, variables, guidance_value=3.0),
+        jnp.zeros((1, 16, 16, 1)),
+        steps,
+        dp["alphas"],
+        seed=0,
+        guidance_scale=None,  # single forward per step: w rides as cond
+    )
+    assert traj.shape == (steps + 1, 1, 16, 16, 1)
+    assert np.isfinite(np.asarray(traj)).all()
+
+
 @pytest.mark.slow
 def test_progressive_distill_round(test_config):
     """One halving round on a tiny teacher: runs through the real trainer,
