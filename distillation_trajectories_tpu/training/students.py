@@ -22,7 +22,12 @@ from ..diffusion import get_diffusion_params, p_sample_loop
 from ..models import make_unet, init_unet, param_count, param_size_mb
 from ..parallel import mesh_from_config, shard_batch, shard_params, shard_train_state
 from ..parallel.mesh import replicated
-from ..utils.profiling import MetricsLogger, phase_timer
+from ..utils.profiling import (
+    MetricsLogger,
+    dump_phase_times,
+    phase_timer,
+    phase_times,
+)
 from ..utils.viz import save_image_grid
 from .teacher import _progress
 from .checkpoints import (
@@ -62,21 +67,32 @@ def print_size_factor_info(size_factors: List[float]) -> None:
             )
 
 
-def _build_student(teacher_model, teacher_variables, config, size_factor, seed):
+def _build_student(teacher_model, teacher_variables, config, size_factor,
+                   seed, _shared=None):
     """Everything distillation needs before the first batch: student model +
     init, train state (mesh-sharded when configured), and the jitted step.
 
     Split out of :func:`distill_diffusion_model` so the sequential sweep can
     construct all students up front and AOT-compile their train steps
     concurrently (utils/compile_pool.py).
+
+    ``_shared`` (a previous build with the IDENTICAL derived architecture —
+    the 16-channel floor maps e.g. sf 0.01 and 0.05 to the same U-Net)
+    reuses that build's jitted ``train_step``/``grid_fn``/module so the
+    duplicate costs zero extra traces/compiles: this student's state has
+    the same avals, so execution lands in the shared fn's dispatch cache.
+    Params are still initialised independently per size factor.
     """
     key = jax.random.PRNGKey(seed + int(size_factor * 1000))
     key, init_key = jax.random.split(key)
 
     teacher_params_d = get_diffusion_params(config.teacher_steps, config)
 
-    student_model = make_unet(config, size_factor=size_factor)
-    variables = init_unet(student_model, config, init_key)
+    student_model = (
+        _shared["model"] if _shared else make_unet(config, size_factor=size_factor)
+    )
+    with phase_timer("students/init_unet"):
+        variables = init_unet(student_model, config, init_key)
 
     tx = make_optimizer(config)
     state = create_train_state(student_model, variables, tx)
@@ -90,6 +106,17 @@ def _build_student(teacher_model, teacher_variables, config, size_factor, seed):
             k: shard_params(v, mesh) for k, v in teacher_variables.items()
         }
         print(f"[distill sf={size_factor}] SPMD over mesh {dict(mesh.shape)}")
+
+    if _shared is not None:
+        return {
+            "key": key,
+            "model": student_model,
+            "variables": variables,
+            "state": state,
+            "train_step": _shared["train_step"],
+            "grid_fn": _shared["grid_fn"],
+            "mesh": mesh,
+        }
 
     train_step = make_distill_train_step(
         teacher_model,
@@ -243,11 +270,12 @@ def distill_diffusion_model(
             if epoch == config.epochs - 1 and config.num_samples_to_generate > 0:
                 # End-of-training sample grid (train_students.py:190-210)
                 key, sample_key = jax.random.split(key)
-                samples = built["grid_fn"](
-                    state.params, state.batch_stats, sample_key
-                )
+                with phase_timer("students/grid"):
+                    samples = np.asarray(built["grid_fn"](
+                        state.params, state.batch_stats, sample_key
+                    ))
                 save_image_grid(
-                    np.asarray(samples),
+                    samples,
                     os.path.join(
                         config.results_dir,
                         f"student_samples_size_{size_factor}_epoch_{epoch + 1}.png",
@@ -286,7 +314,8 @@ def train_students(
     student *i* pinned to device ``i % n`` with async-dispatched steps
     (parallel/sweep.py) — instead of the reference's sequential loop.
     """
-    teacher_model, teacher_variables = load_teacher(config)
+    with phase_timer("students/teacher_load"):
+        teacher_model, teacher_variables = load_teacher(config)
     size_factors = (
         custom_size_factors if custom_size_factors else config.student_size_factors
     )
@@ -314,10 +343,20 @@ def train_students(
     if len(size_factors) > 1 and os.environ.get("DTT_PRECOMPILE", "1") != "0":
         from ..utils.compile_pool import compile_concurrently
 
-        for size_factor in size_factors:
-            prebuilt[size_factor] = _build_student(
-                teacher_model, teacher_variables, config, size_factor, seed
-            )
+        with phase_timer("students/builds"):
+            # The 16-channel floor maps several small size factors onto the
+            # SAME derived architecture (e.g. 0.01 and 0.05); build one jit
+            # step/grid per distinct architecture and share it — duplicates
+            # then cost zero traces/compiles (dispatch-cache hits).
+            arch_canonical: Dict[tuple, dict] = {}
+            for size_factor in size_factors:
+                m = make_unet(config, size_factor=size_factor)
+                arch = (tuple(m.dims), m.time_emb_dim)
+                prebuilt[size_factor] = _build_student(
+                    teacher_model, teacher_variables, config, size_factor,
+                    seed, _shared=arch_canonical.get(arch),
+                )
+                arch_canonical.setdefault(arch, prebuilt[size_factor])
         # Example avals must match execution exactly (shape, dtype, AND
         # sharding) or the dispatch cache misses and the step recompiles.
         mesh = next(iter(prebuilt.values()))["mesh"]
@@ -338,12 +377,14 @@ def train_students(
             images_aval = jax.ShapeDtypeStruct(images_shape, jnp.float32)
             key_example = jax.random.PRNGKey(0)
         # Producers: tracing happens in the calling thread while earlier
-        # graphs compile in the pool (utils/compile_pool.py).
+        # graphs compile in the pool (utils/compile_pool.py).  Shared-arch
+        # duplicates reuse the same jit objects — lower each only once.
+        unique = list({id(b["train_step"]): b for b in prebuilt.values()}.values())
         producers = [
             lambda b=b: b["train_step"].lower(
                 b["state"], images_aval, key_example
             )
-            for b in prebuilt.values()
+            for b in unique
         ]
         # Grid keys are plain (uncommitted) at execution time in both the
         # mesh and single-device paths — lower with a plain key to match.
@@ -352,12 +393,15 @@ def train_students(
             lambda b=b: b["grid_fn"].lower(
                 b["state"].params, b["state"].batch_stats, grid_key
             )
-            for b in prebuilt.values()
+            for b in unique
             if b["grid_fn"] is not None
         ]
         compile_concurrently(
             producers,
-            label=f"distill steps + grids x{len(size_factors)}",
+            label=(
+                f"distill steps + grids x{len(unique)} "
+                f"({len(size_factors)} sizes, shared-arch dedup)"
+            ),
             # Train-step graphs compile in minutes (vs ~30s trajectory
             # scans); budget the hang deadline accordingly.
             per_item_budget=400.0,
@@ -382,5 +426,19 @@ def train_students(
                 ckpt_writer=writer,
             )
     finally:
-        writer.close()
+        with phase_timer("students/ckpt_flush"):
+            writer.close()
+    # Wall-clock attribution for the sweep (init/build/grid/flush phases are
+    # the "unaccounted" gap between epoch time and stage wall — see
+    # PERFORMANCE.md's students-stage breakdown).
+    summary = {
+        k: round(v["total_s"], 1)
+        for k, v in phase_times().items()
+        if k.startswith("students/")
+    }
+    if summary:
+        print(f"[students] phase totals (s): {summary}")
+        dump_phase_times(
+            os.path.join(config.results_dir, "students_phase_times.json")
+        )
     return students

@@ -77,6 +77,39 @@ def test_distill_train_step_runs(test_config):
     )
 
 
+def test_shared_arch_build_dedup(test_config):
+    """Size factors that floor to the same derived architecture (e.g. 0.01
+    and 0.05 both clamp to 16 channels / 16 time-emb dims) share ONE jitted
+    train step and grid fn — the duplicate build costs no new traces or
+    compiles — while still initializing independent params, and the shared
+    step runs correctly on the second student's state."""
+    from distillation_trajectories_tpu.training.students import _build_student
+
+    m1 = make_unet(test_config, size_factor=0.01)
+    m2 = make_unet(test_config, size_factor=0.05)
+    assert (tuple(m1.dims), m1.time_emb_dim) == (tuple(m2.dims), m2.time_emb_dim)
+
+    teacher = make_unet(test_config, size_factor=0.2)
+    teacher_vars = init_unet(teacher, test_config, jax.random.PRNGKey(0))
+    test_config.num_samples_to_generate = 0  # skip grid fn for speed
+
+    b1 = _build_student(teacher, teacher_vars, test_config, 0.01, seed=0)
+    b2 = _build_student(teacher, teacher_vars, test_config, 0.05, seed=0,
+                        _shared=b1)
+    assert b2["train_step"] is b1["train_step"]
+    assert b2["grid_fn"] is b1["grid_fn"]
+    # Independent inits: different PRNG stream per size factor.
+    p1 = jax.tree_util.tree_leaves(b1["variables"]["params"])[0]
+    p2 = jax.tree_util.tree_leaves(b2["variables"]["params"])[0]
+    assert p1.shape == p2.shape and not np.allclose(p1, p2)
+
+    images = jnp.asarray(
+        np.random.default_rng(1).uniform(-1, 1, (8, 16, 16, 1)).astype(np.float32)
+    )
+    state2, loss = b1["train_step"](b2["state"], images, jax.random.PRNGKey(3))
+    assert np.isfinite(float(loss))
+
+
 def test_checkpoint_roundtrip_and_latest(test_config, tmp_path):
     model, variables, tx, state = _setup(test_config)
     d = str(tmp_path / "ckpts")
