@@ -94,6 +94,20 @@ def main():
     parser.add_argument("--guidance", type=float, default=3.0,
                         help="CFG scale for throughput/quality comparison "
                         "in --guidance_range mode")
+    parser.add_argument("--measure_only", action="store_true",
+                        help="Skip training: load the last round's student "
+                        "from progressive[_cfg]/steps_{T/2^rounds} and "
+                        "only run the throughput/quality measurements "
+                        "(for re-measuring after a degraded-tunnel run)")
+    parser.add_argument("--w_sweep", type=str, default=None,
+                        help="comma list of guidance scales (e.g. "
+                        "'1.0,2.0,3.0,5.0,7.5'): in --guidance_range mode, "
+                        "additionally compare teacher CFG chains vs the "
+                        "w-conditioned student at EACH scale (endpoint MSE "
+                        "per w) — evidence the single conditioning input "
+                        "generalizes across the trained range.  w rides as "
+                        "a traced jit argument, so one compile per model "
+                        "serves every scale.")
     args = parser.parse_args()
 
     import jax
@@ -122,17 +136,33 @@ def main():
         if args.guidance_range else None
     )
 
-    t0 = time.perf_counter()
-    model, fast_vars, fast_steps = progressive_distill(
-        config,
-        teacher_model,
-        teacher_vars,
-        rounds=args.rounds,
-        seed=0,
-        epochs_per_round=args.epochs,
-        guidance_range=grange,
-    )
-    train_s = time.perf_counter() - t0
+    if args.measure_only:
+        from distillation_trajectories_tpu.training import (
+            load_checkpoint,
+            variables_from_checkpoint,
+        )
+
+        fast_steps = args.timesteps
+        for _ in range(args.rounds):
+            fast_steps //= 2
+        family = "progressive_cfg" if grange else "progressive"
+        ckpt_dir = os.path.join(config.models_dir, family, f"steps_{fast_steps}")
+        model = teacher_model  # same architecture
+        fast_vars = variables_from_checkpoint(load_checkpoint(ckpt_dir))
+        train_s = 0.0
+        print(f"[progressive] measure-only: loaded {ckpt_dir}")
+    else:
+        t0 = time.perf_counter()
+        model, fast_vars, fast_steps = progressive_distill(
+            config,
+            teacher_model,
+            teacher_vars,
+            rounds=args.rounds,
+            seed=0,
+            epochs_per_round=args.epochs,
+            guidance_range=grange,
+        )
+        train_s = time.perf_counter() - t0
 
     result = {
         "teacher_steps": args.timesteps,
@@ -203,6 +233,49 @@ def main():
         "teacher_mean": float(t_np.mean()), "teacher_std": float(t_np.std()),
         "student_mean": float(s_np.mean()), "student_std": float(s_np.std()),
     }
+    # Per-w generalization: teacher CFG vs w-conditioned student across the
+    # trained guidance range.  Both chains are jitted ONCE with w as a
+    # traced argument (generate_trajectory_scan's CFG combine u + w(c-u)
+    # and the student's cond input are pure algebra in w), so the sweep
+    # pays two compiles total.  Teacher variables ride as jit ARGUMENTS
+    # (never closure constants — see state._DistillStep's rationale).
+    if grange and args.w_sweep:
+        ws = [float(x) for x in args.w_sweep.split(",")]
+
+        @jax.jit
+        def _teacher_end(vars_, noise, wv):
+            fn = make_eval_model_fn(teacher_model, vars_)
+            return generate_trajectory_scan(
+                fn, noise, args.timesteps, dp_t["alphas"], seed=11,
+                guidance_scale=wv,
+            )[-1]
+
+        @jax.jit
+        def _student_end(vars_, noise, wv):
+            base = make_eval_model_fn(model, vars_)
+
+            def gfn(x, t, cond, cond_mask):
+                b = x.shape[0]
+                wcol = jnp.full((b, 1), 1.0, dtype=x.dtype) * wv.astype(x.dtype)
+                return base(x, t, wcol, jnp.ones((b, 1), dtype=x.dtype))
+
+            return generate_trajectory_scan(
+                gfn, noise, fast_steps, dp_s["alphas"], seed=11
+            )[-1]
+
+        sweep = {}
+        for wv in ws:
+            te = np.asarray(_teacher_end(teacher_vars, noise, jnp.float32(wv)))
+            se = np.asarray(_student_end(fast_vars, noise, jnp.float32(wv)))
+            sweep[str(wv)] = {
+                "endpoint_mse": float(np.mean((te - se) ** 2)),
+                "teacher_std": float(te.std()),
+                "student_std": float(se.std()),
+            }
+            print(f"[progressive] w={wv}: endpoint MSE "
+                  f"{sweep[str(wv)]['endpoint_mse']:.2e}")
+        result["quality"]["w_sweep"] = sweep
+
     sfx = "_cfg" if grange else ""
     save_image_grid(
         t_np, os.path.join(out_dir, f"teacher_T{args.timesteps}{sfx}.png"),

@@ -139,6 +139,27 @@ def test_guided_progressive_round(test_config):
     assert traj.shape == (steps + 1, 1, 16, 16, 1)
     assert np.isfinite(np.asarray(traj)).all()
 
+    # Measure-only round-trip contract (scripts/bench_progressive.py
+    # --measure_only): the progressive_cfg/steps_{S} checkpoint reloads to
+    # exactly the variables the trainer returned.
+    from distillation_trajectories_tpu.training import (
+        load_checkpoint,
+        variables_from_checkpoint,
+    )
+
+    reloaded = variables_from_checkpoint(
+        load_checkpoint(
+            os.path.join(test_config.models_dir, "progressive_cfg", "steps_4")
+        )
+    )
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)
+        ),
+        reloaded["params"],
+        variables["params"],
+    )
+
 
 @pytest.mark.slow
 def test_progressive_distill_round(test_config):
