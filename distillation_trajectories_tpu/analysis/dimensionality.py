@@ -116,7 +116,13 @@ def umap_fallback_embedding(
     # random points per sampled edge.  Gradient forms and the per-component
     # clip to [-4, 4] match umap-learn's layouts.optimize_layout_euclidean.
     negative_sample_rate = 5
-    heads, tails = np.nonzero(np.triu(P, 1))
+    # DIRECTED edges of the symmetrized graph, like umap-learn: each
+    # undirected edge appears twice, so both endpoints take a turn as head
+    # and receive negative-sample repulsion (a triu enumeration would repel
+    # only one endpoint, systematically under-repelling frequent tails).
+    P_offdiag = P.copy()
+    np.fill_diagonal(P_offdiag, 0.0)
+    heads, tails = np.nonzero(P_offdiag)
     weights = P[heads, tails]
     if len(heads) == 0:
         return emb

@@ -250,27 +250,43 @@ def fid_across_sizes(
     """
     from ..utils.compile_pool import VariablesAsArgFn, compile_concurrently
 
+    if not students:
+        return {}
+
     if inception is None:
         inception = InceptionModel()
 
     key = jax.random.PRNGKey(seed)
     k1, k2 = jax.random.split(key)
 
-    teacher_fn = VariablesAsArgFn(
-        make_sample_fn(teacher_model, config, num_samples), teacher_variables
-    )
-    student_fns = {
-        sf: VariablesAsArgFn(
-            make_sample_fn(model, config, num_samples), variables
-        )
-        for sf, (model, variables) in students.items()
+    # The 16-channel floor maps several small size factors (and sf=1.0 vs
+    # the teacher) onto the SAME derived architecture; one jitted sampler
+    # per distinct (dims, time_emb_dim) serves them all — variables ride as
+    # jit arguments, so duplicates land in the dispatch cache instead of
+    # paying their own trace+compile (same dedup as the student sweep's).
+    def _arch(m):
+        return (tuple(m.dims), m.time_emb_dim)
+
+    arch_fns: Dict[tuple, object] = {
+        _arch(teacher_model): make_sample_fn(teacher_model, config, num_samples)
     }
+    teacher_fn = VariablesAsArgFn(
+        arch_fns[_arch(teacher_model)], teacher_variables
+    )
+    student_fns = {}
+    for sf, (model, variables) in students.items():
+        if _arch(model) not in arch_fns:
+            arch_fns[_arch(model)] = make_sample_fn(model, config, num_samples)
+        student_fns[sf] = VariablesAsArgFn(arch_fns[_arch(model)], variables)
 
     if precompile:
+        # One lower() per distinct architecture (not per size factor).
+        first_per_arch = {_arch(teacher_model): (teacher_fn, k1)}
+        for sf, (model, _) in students.items():
+            first_per_arch.setdefault(_arch(model), (student_fns[sf], k2))
         compile_concurrently(
             [lambda fn=fn, k=k: fn.lower(k)
-             for fn, k in ([(teacher_fn, k1)]
-                           + [(fn, k2) for fn in student_fns.values()])],
+             for fn, k in first_per_arch.values()],
             label="fid samplers",
         )
 

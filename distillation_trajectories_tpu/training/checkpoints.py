@@ -40,6 +40,23 @@ def checkpoint_path(directory: str, epoch: int) -> str:
     return os.path.join(directory, f"model_epoch_{epoch}.msgpack")
 
 
+def _raise_first(futures) -> None:
+    """Retrieve EVERY completed future's result, then raise the first
+    failure.  Raising inside the retrieval loop would leave later failed
+    futures' exceptions unretrieved (lost tracebacks, 'exception was never
+    retrieved' GC warnings); secondary failures are printed instead."""
+    errors = []
+    for fut in futures:
+        try:
+            fut.result()
+        except Exception as exc:  # noqa: BLE001 — re-raised below
+            errors.append(exc)
+    if errors:
+        for extra_exc in errors[1:]:
+            print(f"[checkpoints] additional async save failure: {extra_exc!r}")
+        raise errors[0]
+
+
 def save_checkpoint(
     directory: str,
     epoch: int,
@@ -137,8 +154,7 @@ class AsyncCheckpointWriter:
         done = [f for f in self._futures if f.done()]
         self._futures = [f for f in self._futures if not f.done()]
         self._futures.append(self._pool.submit(write))
-        for fut in done:
-            fut.result()
+        _raise_first(done)
 
     def flush(self) -> None:
         """Wait for ALL pending saves to settle; raise the first failure
@@ -146,8 +162,7 @@ class AsyncCheckpointWriter:
         in-flight writes un-joined and skip close()'s pool shutdown)."""
         futures, self._futures = self._futures, []
         concurrent.futures.wait(futures)
-        for fut in futures:
-            fut.result()
+        _raise_first(futures)
 
     def close(self) -> None:
         try:

@@ -243,11 +243,16 @@ def progressive_distill(
     CFG teacher pays two, on top of the step-count halving.
     """
     from ..data import get_data_loader
+    from ..utils.compile_pool import arm_watchdog, cancel_watchdog
 
     epochs = epochs_per_round or config.epochs
     cur_model, cur_vars = teacher_model, teacher_variables
     cur_steps = int(config.teacher_steps)
     writer = AsyncCheckpointWriter()
+    # Tunnel-hang watchdog (no-op on CPU): a dropped axon RPC mid-epoch
+    # otherwise hangs the round forever.  Budget adapts to the measured
+    # epoch time; DTT_COMPILE_TIMEOUT overrides.
+    prev_epoch_s = 0.0
     try:
         for r in range(rounds):
             next_steps = cur_steps // 2
@@ -282,6 +287,13 @@ def progressive_distill(
                 f"{next_steps} steps, {epochs} epochs"
             )
             for epoch in range(epochs):
+                # First epoch of a round pays the jit compile (~5 min on
+                # the tunneled chip); later epochs get 4x the last measured
+                # epoch as headroom.
+                arm_watchdog(
+                    max(1800.0, 4.0 * prev_epoch_s) if epoch == 0
+                    else max(900.0, 4.0 * prev_epoch_s)
+                )
                 t0 = time.time()
                 losses = []
                 for batch_idx, (images, _) in enumerate(loader):
@@ -294,24 +306,34 @@ def progressive_distill(
                     state, loss = step_fn(state, jnp.asarray(images), sk)
                     losses.append(loss)
                 avg = float(np.mean(jax.device_get(losses))) if losses else 0.0
+                prev_epoch_s = time.time() - t0
                 print(
                     f"[progressive] steps={next_steps} epoch "
                     f"{epoch + 1}/{epochs} loss {avg:.6f} "
                     f"({time.time() - t0:.1f}s)"
                 )
+                # Per-epoch async saves (teacher.py cadence) incl. opt_state
+                # — a tunnel drop mid-round then costs one epoch, not the
+                # round, and completed epochs stay optimizer-resumable.
+                if (epoch + 1) % config.save_interval == 0 or epoch == epochs - 1:
+                    ckpt_family = (
+                        "progressive" if guidance_range is None
+                        else "progressive_cfg"
+                    )
+                    writer.save(
+                        os.path.join(
+                            config.models_dir, ckpt_family, f"steps_{next_steps}"
+                        ),
+                        epoch + 1,
+                        state.params,
+                        batch_stats=state.batch_stats,
+                        opt_state=state.opt_state,
+                    )
             cur_vars = {
                 "params": state.params, "batch_stats": state.batch_stats
             }
             cur_steps = next_steps
-            ckpt_family = (
-                "progressive" if guidance_range is None else "progressive_cfg"
-            )
-            writer.save(
-                os.path.join(config.models_dir, ckpt_family, f"steps_{cur_steps}"),
-                epochs,
-                state.params,
-                batch_stats=state.batch_stats,
-            )
     finally:
+        cancel_watchdog()
         writer.close()
     return cur_model, cur_vars, cur_steps

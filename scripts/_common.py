@@ -65,3 +65,34 @@ def apply_mesh_arg(config, args):
         if len(parts) != 2 or parts[0] < 1 or parts[1] < 1:
             raise SystemExit(f"--mesh must be 'DATA,MODEL' positive ints, got {args.mesh!r}")
         config.mesh_shape = (parts[0], parts[1])
+
+
+def preflight_probe(max_wait=900.0, interval=60.0):
+    """Tunnel-health preflight for long measured on-chip scripts.
+
+    CLAUDE.md rule: numbers taken on a degraded tunnel are garbage (the
+    ~2.8 s/dispatch recovery mode inflates everything ~90x), so any script
+    that trains or measures on the chip probes first.  Skipped when the CPU
+    backend is forced (env var or an already-configured jax).  Proceeds —
+    with the result on record — even when still down/degraded after
+    ``max_wait``: callers embed the dict in their output JSON so a bad
+    number is self-documenting.
+    """
+    def _primary(platforms):
+        return str(platforms or "").split(",")[0].strip()
+
+    # Only the PRIMARY platform decides: the default here is 'axon,cpu'
+    # (TPU plugin with cpu fallback), which must still probe.
+    if _primary(os.environ.get("JAX_PLATFORMS", "")) == "cpu":
+        return {"status": "skipped", "detail": "cpu backend forced via env"}
+    if "jax" in sys.modules:
+        import jax
+
+        if _primary(getattr(jax.config, "jax_platforms", None)) == "cpu":
+            return {"status": "skipped", "detail": "cpu backend configured"}
+
+    from distillation_trajectories_tpu.utils.tunnel import wait_for_device
+
+    probe = wait_for_device(max_wait=max_wait, interval=interval)
+    print(f"[preflight] device {probe['status']} ({probe['detail']})")
+    return probe

@@ -70,12 +70,14 @@ def compute_real_metrics(config, size_factors, guidance_scales, num_samples,
     noises = jax.jit(
         jax.vmap(lambda s: jax.random.normal(jax.random.PRNGKey(s), shape))
     )(seeds)
-    # One unified graph per model (runtime cond-pair table selects CFG);
-    # teacher chains are generated once per (sf, gs) pair here to keep the
-    # reference's loop shape — the teacher fn itself compiles once.
+    # One unified graph per model (runtime cond-pair table selects CFG).
+    # Teacher chains depend only on gs (fixed noises/seeds), so they are
+    # generated once per gs and reused across every size factor — the
+    # engine sweep (trajectories/engine.py) hoists exactly this.
     teacher_fn = make_sweep_trajectory_fn(
         teacher_model, teacher_vars, config.timesteps, config
     )
+    teacher_chains = {}
 
     cosine, euclid = {}, {}
     for sf in size_factors:
@@ -92,7 +94,11 @@ def compute_real_metrics(config, size_factors, guidance_scales, num_samples,
             pairs = jnp.asarray(
                 CFG_COND_PAIRS if gs > 1.0 else NOCFG_COND_PAIRS
             )
-            t = teacher_fn(noises, seeds, pairs, jnp.float32(gs))
+            if gs not in teacher_chains:
+                teacher_chains[gs] = teacher_fn(
+                    noises, seeds, pairs, jnp.float32(gs)
+                )
+            t = teacher_chains[gs]
             s = student_fn(noises, seeds, pairs, jnp.float32(gs))
             tf = t.reshape(t.shape[0], t.shape[1], -1)
             sf_flat = s.reshape(s.shape[0], s.shape[1], -1)

@@ -234,6 +234,11 @@ def create_radar_plot_grid(metrics_by_size, output_dir, guidance_scales):
         ax.set_xticks(angles)
         ax.set_xticklabels([label for _, label in METRICS_TO_ANALYZE])
         ax.set_ylim(0, 1)
+        # Placeholder reserving the two-line title box: tight_layout runs
+        # once on THIS geometry, and the per-gs set_title below only swaps
+        # the text — without it the layout would be computed title-less and
+        # lower-row titles could collide with the axes above.
+        ax.set_title(" \n ")
         axes.append(ax)
     fig.tight_layout()
 

@@ -22,7 +22,11 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-from _common import load_teacher_from_arg, project_root  # noqa: E402
+from _common import (  # noqa: E402
+    load_teacher_from_arg,
+    preflight_probe,
+    project_root,
+)
 
 import numpy as np  # noqa: E402
 
@@ -110,6 +114,8 @@ def main():
                         "serves every scale.")
     args = parser.parse_args()
 
+    probe = preflight_probe()
+
     import jax
     import jax.numpy as jnp
 
@@ -165,6 +171,7 @@ def main():
         train_s = time.perf_counter() - t0
 
     result = {
+        "preflight": {"status": probe["status"], "detail": probe["detail"]},
         "teacher_steps": args.timesteps,
         "final_steps": fast_steps,
         "rounds": args.rounds,
@@ -178,7 +185,14 @@ def main():
 
     # Throughput at each step count.  Guided mode: the teacher pays the
     # two-forward CFG path at scale w; the student answers with ONE guided
-    # forward per (halved) step.
+    # forward per (halved) step.  Each measured phase re-arms the
+    # tunnel-hang watchdog (no-op on CPU): the first call pays a ~5-min
+    # chip compile, and a dropped RPC otherwise hangs forever.
+    from distillation_trajectories_tpu.utils.compile_pool import (
+        arm_watchdog,
+        cancel_watchdog,
+    )
+
     w = args.guidance
     for label, steps, variables, kw in [
         (
@@ -194,6 +208,7 @@ def main():
             {"guided_cond": w} if grange else {},
         ),
     ]:
+        arm_watchdog(900.0)
         tps, dt = measure_traj_per_s(
             model, variables, steps, config, batch=args.batch, **kw
         )
@@ -207,6 +222,7 @@ def main():
         make_guided_eval_fn,
     )
 
+    arm_watchdog(900.0)
     n = args.quality_samples
     noise = jax.random.normal(
         jax.random.PRNGKey(7),
@@ -264,6 +280,7 @@ def main():
             )[-1]
 
         sweep = {}
+        arm_watchdog(900.0 + 120.0 * len(ws))
         for wv in ws:
             te = np.asarray(_teacher_end(teacher_vars, noise, jnp.float32(wv)))
             se = np.asarray(_student_end(fast_vars, noise, jnp.float32(wv)))
@@ -285,6 +302,7 @@ def main():
         s_np, os.path.join(out_dir, f"student_T{fast_steps}{sfx}.png"), nrow=4
     )
 
+    cancel_watchdog()
     path = os.path.join(config.results_dir, f"bench_progressive{sfx}.json")
     with open(path, "w") as f:
         json.dump(result, f, indent=2)

@@ -12,7 +12,7 @@ import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-from _common import load_teacher_from_arg  # noqa: E402
+from _common import load_teacher_from_arg, preflight_probe  # noqa: E402
 
 
 def main():
@@ -43,6 +43,8 @@ def main():
                         "CFG forwards with one guided forward). Checkpoints "
                         "go to progressive_cfg/steps_{n}/")
     args = parser.parse_args()
+
+    preflight_probe()
 
     from distillation_trajectories_tpu import Config
     from distillation_trajectories_tpu.training import progressive_distill

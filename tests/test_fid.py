@@ -117,3 +117,60 @@ def test_fid_across_sizes_matches_per_size_path(test_config, tmp_path):
             cfg.analysis_dir, "fid", f"size_{sf}", f"fid_score_size_{sf}.txt"
         )
         assert os.path.exists(txt)
+
+
+def test_fid_across_sizes_empty_students_is_free(test_config):
+    """No students (e.g. analyze_fid before any student is trained) returns
+    {} WITHOUT paying the teacher sampler compile or any generation."""
+    from distillation_trajectories_tpu.metrics.fid import fid_across_sizes
+
+    class _Boom:
+        def get_features(self, x):  # pragma: no cover - must not be called
+            raise AssertionError("teacher featurization ran with no students")
+
+    assert fid_across_sizes(
+        object(), {}, {}, test_config, inception=_Boom(), num_samples=4
+    ) == {}
+
+
+def test_fid_across_sizes_dedups_shared_architectures(test_config):
+    """Size factors that clamp to the same derived U-Net (the 16-channel
+    floor, e.g. 0.01 and 0.05) share ONE jitted sampler; the teacher's
+    architecture seeds the cache so an sf=1.0-alike student reuses it."""
+    import jax
+
+    from distillation_trajectories_tpu.metrics import fid as fid_mod
+    from distillation_trajectories_tpu.models import make_unet
+
+    cfg = test_config
+    x0 = np.zeros((1, cfg.image_size, cfg.image_size, cfg.channels), np.float32)
+    t0 = np.zeros((1,), np.int32)
+    teacher = make_unet(cfg, size_factor=0.25)
+    tvars = teacher.init(jax.random.PRNGKey(0), x0, t0)
+    students = {}
+    for i, sf in enumerate([0.01, 0.05, 0.25]):
+        m = make_unet(cfg, size_factor=sf)
+        students[sf] = (m, m.init(jax.random.PRNGKey(10 + i), x0, t0))
+    # 0.01 and 0.05 clamp to the same floor architecture; 0.25 == teacher.
+    assert tuple(students[0.01][0].dims) == tuple(students[0.05][0].dims)
+
+    calls = []
+    real_make_sample_fn = fid_mod.make_sample_fn
+
+    def counting(model, config, num_samples):
+        calls.append(model)
+        return real_make_sample_fn(model, config, num_samples)
+
+    stub = _StubInception()
+    orig = fid_mod.make_sample_fn
+    fid_mod.make_sample_fn = counting
+    try:
+        scores = fid_mod.fid_across_sizes(
+            teacher, tvars, students, cfg, inception=stub, num_samples=2,
+            precompile=False,
+        )
+    finally:
+        fid_mod.make_sample_fn = orig
+    assert set(scores) == {0.01, 0.05, 0.25}
+    # One sampler for (teacher == 0.25 student) + one for the floor arch.
+    assert len(calls) == 2, [tuple(m.dims) for m in calls]
