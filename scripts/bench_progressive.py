@@ -103,6 +103,13 @@ def main():
                         "from progressive[_cfg]/steps_{T/2^rounds} and "
                         "only run the throughput/quality measurements "
                         "(for re-measuring after a degraded-tunnel run)")
+    parser.add_argument("--fid_samples", type=int, default=0,
+                        help="When >0: also compute FID between N teacher "
+                        "samples and N student samples (fresh noise each — "
+                        "a DISTRIBUTIONAL quality check, unlike the paired "
+                        "endpoint MSE).  Uses the on-device Inception "
+                        "featurizer (seeded random features unless "
+                        "INCEPTION_WEIGHTS is set).")
     parser.add_argument("--w_sweep", type=str, default=None,
                         help="comma list of guidance scales (e.g. "
                         "'1.0,2.0,3.0,5.0,7.5'): in --guidance_range mode, "
@@ -301,6 +308,49 @@ def main():
     save_image_grid(
         s_np, os.path.join(out_dir, f"student_T{fast_steps}{sfx}.png"), nrow=4
     )
+
+    # Distributional quality: FID between teacher and student sample sets
+    # (fresh, different noise per set — complements the paired endpoint
+    # MSE, which only measures map agreement from shared noise).
+    if args.fid_samples > 0:
+        from distillation_trajectories_tpu.metrics.fid import (
+            InceptionModel,
+            calculate_fid,
+        )
+
+        arm_watchdog(1200.0)
+        nf = args.fid_samples
+        fid_shape = (nf, config.image_size, config.image_size, config.channels)
+        tn_noise = jax.random.normal(jax.random.PRNGKey(101), fid_shape)
+        sn_noise = jax.random.normal(jax.random.PRNGKey(202), fid_shape)
+        t_set = generate_trajectory_scan(
+            make_eval_model_fn(teacher_model, teacher_vars), tn_noise,
+            args.timesteps, dp_t["alphas"], seed=21,
+            guidance_scale=w if grange else None,
+        )[-1]
+        s_set = generate_trajectory_scan(
+            make_guided_eval_fn(model, fast_vars, w)
+            if grange else make_eval_model_fn(model, fast_vars),
+            sn_noise, fast_steps, dp_s["alphas"], seed=22,
+        )[-1]
+        inception = InceptionModel()
+        t_feat = np.asarray(inception.get_features(t_set))
+        s_feat = np.asarray(inception.get_features(s_set))
+        result["quality"]["fid_teacher_vs_student"] = float(
+            calculate_fid(t_feat, s_feat)
+        )
+        # Self-FID floor: split the teacher set in half — the FID noise
+        # floor at this sample count, for calibrating the number above.
+        half = nf // 2
+        if half >= 2:
+            result["quality"]["fid_teacher_self_floor"] = float(
+                calculate_fid(t_feat[:half], t_feat[half:])
+            )
+        print(f"[progressive] FID(teacher, student) = "
+              f"{result['quality']['fid_teacher_vs_student']:.3g} "
+              f"(self floor "
+              f"{result['quality'].get('fid_teacher_self_floor', float('nan')):.3g}, "
+              f"n={nf})")
 
     cancel_watchdog()
     path = os.path.join(config.results_dir, f"bench_progressive{sfx}.json")
