@@ -59,6 +59,7 @@ def parallel_generate_trajectory(
         ``(trajectory [T+1, B, H, W, C], sweeps_used)`` — same layout as
         ``generate_trajectory_scan`` (entry 0 = noise, last two identical).
     """
+    alphas = jnp.asarray(alphas)  # host constants (see get_diffusion_params)
     if use_cfg is None:
         use_cfg = guidance_scale is not None and (
             not isinstance(guidance_scale, (int, float)) or guidance_scale > 1.0
@@ -162,6 +163,7 @@ def sliding_window_trajectory(
 
     Returns ``(trajectory [T+1, B, H, W, C], sweeps_used)``.
     """
+    alphas = jnp.asarray(alphas)  # host constants (see get_diffusion_params)
     if use_cfg is None:
         use_cfg = guidance_scale is not None and (
             not isinstance(guidance_scale, (int, float)) or guidance_scale > 1.0

@@ -218,6 +218,7 @@ def generate_trajectory_scan(
         )
     gs = 1.0 if guidance_scale is None else guidance_scale
     b = noise.shape[0]
+    alphas = jnp.asarray(alphas)  # host constants (see get_diffusion_params)
     base_key = jax.random.PRNGKey(seed) if jnp.ndim(seed) == 0 else seed
 
     def step(x, t):
@@ -341,6 +342,7 @@ def generate_trajectory_batch_scan(
         trajectories ``[S, T+1, H, W, C]``.
     """
     s = noises.shape[0]
+    alphas = jnp.asarray(alphas)  # host constants (see get_diffusion_params)
     base_keys = jax.vmap(jax.random.PRNGKey)(seeds)
     gs = guidance_scale
 

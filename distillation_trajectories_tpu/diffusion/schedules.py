@@ -56,9 +56,17 @@ def get_diffusion_params(
     dispatched (and first time, compiled) device computation, and the sweep
     engine builds one trajectory fn per model size — on the tunneled TPU
     backend the ~10 ops x 10 calls of the round-2 layout cost real
-    wall-clock before any real work started.  Returned values are jnp
-    (device) arrays so traced indexing (``alphas[t]`` inside scans) works;
-    the dict itself is a fresh copy per call.
+    wall-clock before any real work started.  The dict itself is a fresh
+    copy per call.
+
+    Values are HOST (numpy) arrays: closure-captured schedule tensors embed
+    into lowered IR straight from host memory.  As device arrays, every
+    ``jit(...).lower()`` had to FETCH each one back over the axon tunnel
+    (``mlir.ir_constant`` → ``array._value``, ~10 RTTs per graph) — slow in
+    aggregate for multi-architecture compile pools and a hard hang when the
+    tunnel dropped mid-fetch (observed in the round-3 FID stage).  Functions
+    that index these under a trace convert with ``jnp.asarray`` at trace
+    entry, which is free after compilation.
     """
     beta_start = getattr(config, "beta_start", 1e-4) if config else 1e-4
     beta_end = getattr(config, "beta_end", 0.02) if config else 0.02
@@ -93,10 +101,8 @@ def get_diffusion_params(
         * (1.0 - alphas_cumprod_prev)
         / (1.0 - alphas_cumprod),
     }
-    params = {
-        k: jnp.asarray(v, dtype=jnp.float32) for k, v in host.items()
-    }
-    params["timesteps"] = jnp.asarray(sample_steps, dtype=jnp.int32)
+    params = {k: np.asarray(v, dtype=np.float32) for k, v in host.items()}
+    params["timesteps"] = np.int32(sample_steps)
     _PARAMS_CACHE[cache_key] = params
     return dict(params)
 
@@ -106,6 +112,7 @@ def extract(a: jnp.ndarray, t: jnp.ndarray, x_shape) -> jnp.ndarray:
 
     Reference ``utils/diffusion.py:11-19`` (with the same clamp-to-bounds).
     """
+    a = jnp.asarray(a)  # host schedule constants index fine under trace
     t = jnp.clip(t, 0, a.shape[0] - 1)
     out = a[t]
     return out.reshape(t.shape[0], *((1,) * (len(x_shape) - 1)))

@@ -41,12 +41,13 @@ def denoise_with_trajectory(
     edits that actually denoise.
     """
     b = x0.shape[0]
+    alphas = jnp.asarray(alphas)  # host constants (see get_diffusion_params)
     if mode == "ancestral":
         assert diffusion_params is not None, "ancestral mode needs diffusion_params"
-        betas = diffusion_params["betas"]
-        somac = diffusion_params["sqrt_one_minus_alphas_cumprod"]
-        sra = diffusion_params["sqrt_recip_alphas"]
-        pvar = diffusion_params["posterior_variance"]
+        betas = jnp.asarray(diffusion_params["betas"])
+        somac = jnp.asarray(diffusion_params["sqrt_one_minus_alphas_cumprod"])
+        sra = jnp.asarray(diffusion_params["sqrt_recip_alphas"])
+        pvar = jnp.asarray(diffusion_params["posterior_variance"])
 
     def step(x, t):
         recorded = x

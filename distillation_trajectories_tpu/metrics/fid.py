@@ -37,24 +37,61 @@ class InceptionModel:
         self.model, self.variables, self.pretrained = create_inception(weights_path)
         self.batch_size = batch_size
 
+        # Variables ride as a jit ARGUMENT, not a closure constant: the
+        # axon backend hashes the full lowered module per compile, and the
+        # trunk's ~24M params as inline IR constants made that hash (and
+        # the first compile) pathologically slow (see
+        # utils.compile_pool.VariablesAsArgFn).
         @jax.jit
-        def _features(x):
-            return self.model.apply(self.variables, preprocess_for_inception(x))
+        def _features(variables, x):
+            return self.model.apply(variables, preprocess_for_inception(x))
 
         self._features = _features
 
-    def get_features(self, images) -> np.ndarray:
-        """[N, H, W, C] in [−1,1] → [N, 2048] features, batched (ref batch 32)."""
+    def features_device(self, images) -> jnp.ndarray:
+        """[N, H, W, C] in [−1,1] → [N, 2048] features as a DEVICE array —
+        dispatches asynchronously, no host sync (batched, ref batch 32)."""
         images = jnp.asarray(images)
         outs = []
         for i in range(0, images.shape[0], self.batch_size):
-            outs.append(np.asarray(self._features(images[i : i + self.batch_size])))
-        return np.concatenate(outs) if outs else np.zeros((0, 2048))
+            outs.append(self._features(self.variables, images[i : i + self.batch_size]))
+        return jnp.concatenate(outs) if outs else jnp.zeros((0, 2048))
+
+    def get_features(self, images) -> np.ndarray:
+        """[N, H, W, C] in [−1,1] → [N, 2048] features on host."""
+        return np.asarray(self.features_device(images))
+
+    def lower_batches(self, num_samples: int, image_shape) -> list:
+        """``Lowered`` objects for every distinct batch shape a
+        ``num_samples``-sized feature extraction will dispatch — for AOT
+        compile pools (utils.compile_pool.compile_concurrently)."""
+        sizes = []
+        if num_samples >= self.batch_size:
+            sizes.append(self.batch_size)
+        if num_samples % self.batch_size:
+            sizes.append(num_samples % self.batch_size)
+        return [
+            self._features.lower(
+                jax.eval_shape(lambda: self.variables),
+                jax.ShapeDtypeStruct((n, *image_shape), jnp.float32),
+            )
+            for n in sizes
+        ]
 
 
 def calculate_fid(features1: np.ndarray, features2: np.ndarray) -> float:
     """Fréchet distance between feature distributions
-    (reference fid_score.py:61-93)."""
+    (reference fid_score.py:61-93).
+
+    When both sample counts are below the feature dimension (always, at the
+    workload's 50 samples × 2048-d features), the covariances have rank
+    < d and the ``tr((Σ₁Σ₂)^{1/2})`` cross-term is computed EXACTLY from
+    the singular values of the n₁×n₂ matrix ``A₁ᵀA₂`` (Aᵢ = centered
+    features): the nonzero eigenvalues of Σ₁Σ₂ are σₖ(A₁ᵀA₂)²/((n₁−1)(n₂−1)),
+    so the trace is Σₖ σₖ/√((n₁−1)(n₂−1)).  This replaces scipy's dense
+    2048² ``sqrtm`` (~25 s/call on this 1-core host; 13 calls dominated the
+    FID stage) with a sub-millisecond SVD — same value to float64 noise
+    (pinned by tests/test_fid.py against the sqrtm path)."""
     from scipy import linalg
 
     features1 = np.asarray(features1, dtype=np.float64)
@@ -63,11 +100,22 @@ def calculate_fid(features1: np.ndarray, features2: np.ndarray) -> float:
         # Reference placeholder for degenerate sample counts (ref :66-69)
         return 999.0
 
+    n1, n2 = len(features1), len(features2)
+    d = features1.shape[1]
     mu1, mu2 = features1.mean(axis=0), features2.mean(axis=0)
+    diff = mu1 - mu2
+
+    if max(n1, n2) < d:
+        a1 = features1 - mu1
+        a2 = features2 - mu2
+        tr1 = float(np.sum(a1 * a1)) / (n1 - 1)  # tr(Σ₁) without forming Σ₁
+        tr2 = float(np.sum(a2 * a2)) / (n2 - 1)
+        sv = linalg.svdvals(a1 @ a2.T)
+        tr_cross = float(np.sum(sv)) / np.sqrt((n1 - 1) * (n2 - 1))
+        return float(diff @ diff + tr1 + tr2 - 2.0 * tr_cross)
+
     sigma1 = np.cov(features1, rowvar=False)
     sigma2 = np.cov(features2, rowvar=False)
-
-    diff = mu1 - mu2
     covmean, _ = linalg.sqrtm(sigma1 @ sigma2, disp=False)
     if np.iscomplexobj(covmean):
         covmean = covmean.real  # complex-part guard (ref :82-85)
@@ -150,18 +198,21 @@ def _fid_report(
     output_dir,
     inception: Optional["InceptionModel"] = None,
     teacher_features: Optional[np.ndarray] = None,
+    student_features: Optional[np.ndarray] = None,
 ) -> Dict[str, float]:
     """Features → FID → side-by-side grid + txt for one size factor.
 
-    ``teacher_features`` short-circuits re-extraction when the caller holds
-    one teacher sample set fixed across many students
-    (:func:`fid_across_sizes`)."""
+    ``teacher_features``/``student_features`` short-circuit re-extraction
+    when the caller already extracted them (e.g. :func:`fid_across_sizes`
+    holds one teacher set fixed across many students and batches every
+    device fetch into one transfer)."""
     print("  Extracting features using InceptionV3...")
-    if inception is None:
+    if inception is None and (teacher_features is None or student_features is None):
         inception = InceptionModel()
     if teacher_features is None:
         teacher_features = inception.get_features(teacher_samples)
-    student_features = inception.get_features(student_samples)
+    if student_features is None:
+        student_features = inception.get_features(student_samples)
 
     print("  Calculating FID score...")
     fid_score = calculate_fid(teacher_features, student_features)
@@ -280,28 +331,71 @@ def fid_across_sizes(
         student_fns[sf] = VariablesAsArgFn(arch_fns[_arch(model)], variables)
 
     if precompile:
-        # One lower() per distinct architecture (not per size factor).
+        # One lower() per distinct architecture (not per size factor),
+        # plus the Inception featurizer's batch graphs — all in one pool.
         first_per_arch = {_arch(teacher_model): (teacher_fn, k1)}
         for sf, (model, _) in students.items():
             first_per_arch.setdefault(_arch(model), (student_fns[sf], k2))
+        image_shape = (config.image_size, config.image_size, config.channels)
+        lower_batches = getattr(inception, "lower_batches", None)
         compile_concurrently(
             [lambda fn=fn, k=k: fn.lower(k)
-             for fn, k in first_per_arch.values()],
+             for fn, k in first_per_arch.values()]
+            + ([lambda lw=lw: lw
+                for lw in lower_batches(num_samples, image_shape)]
+               if lower_batches else []),
             label="fid samplers",
         )
 
-    teacher_samples = teacher_fn(k1)
-    teacher_features = inception.get_features(teacher_samples)
+    # Phase 1 — dispatch everything (samplers + feature extraction stay on
+    # device; jax dispatch is async, so all 14 sample sets and their
+    # features are in flight before any host read).
+    import time as _time
 
-    fid_by_size: Dict[float, float] = {}
+    from ..utils.compile_pool import arm_watchdog, cancel_watchdog
+
+    t0 = _time.perf_counter()
+    # Dispatch is async (~RTT per call); the deadline only guards a hung
+    # tunnel RPC, not compute.
+    arm_watchdog(120.0 + 3.0 * len(student_fns))
+    # Duck-typed extractors (tests, external featurizers) may only provide
+    # the host-side get_features; device_get passes numpy through unchanged.
+    featurize = getattr(inception, "features_device", inception.get_features)
+    teacher_samples = teacher_fn(k1)
+    teacher_features_dev = featurize(teacher_samples)
+    n_show = min(5, num_samples)
+    per_sf_dev = {}
     for sf, fn in student_fns.items():
+        student_samples = fn(k2)
+        per_sf_dev[sf] = (student_samples[:n_show], featurize(student_samples))
+    t_dispatch = _time.perf_counter() - t0
+
+    # Phase 2 — ONE host fetch for every array the report needs (per-size
+    # np.asarray reads each paid a tunnel RTT; see PERFORMANCE.md).  The
+    # fetch blocks until the whole dispatched pipeline completes, so its
+    # deadline budgets real compute for all sample sets, not just the RPC.
+    t0 = _time.perf_counter()
+    arm_watchdog(600.0 + 20.0 * len(student_fns))
+    teacher_show, teacher_features, per_sf = jax.device_get(
+        (teacher_samples[:n_show], teacher_features_dev, per_sf_dev)
+    )
+    cancel_watchdog()
+    t_fetch = _time.perf_counter() - t0
+
+    # Phase 3 — host-only Fréchet math + grid/txt artifacts.
+    t0 = _time.perf_counter()
+    fid_by_size: Dict[float, float] = {}
+    for sf, (student_show, student_features) in per_sf.items():
         output_dir = os.path.join(config.analysis_dir, "fid", f"size_{sf}")
         os.makedirs(output_dir, exist_ok=True)
         print(f"Calculating FID scores for size factor {sf}...")
-        student_samples = fn(k2)
         result = _fid_report(
-            teacher_samples, student_samples, sf, output_dir,
-            inception=inception, teacher_features=teacher_features,
+            teacher_show, student_show, sf, output_dir,
+            teacher_features=teacher_features,
+            student_features=student_features,
         )
         fid_by_size[sf] = result["fid_score"]
+    print(f"[fid] dispatch {t_dispatch:.1f}s, fetch {t_fetch:.1f}s, "
+          f"host fid+plots {_time.perf_counter() - t0:.1f}s "
+          f"({len(student_fns)} sizes, {num_samples} samples)")
     return fid_by_size

@@ -226,7 +226,10 @@ def create_inception(
 ) -> Tuple[InceptionV3Features, dict, bool]:
     """Build the extractor; returns (model, variables, pretrained?)."""
     model = InceptionV3Features()
-    variables = model.init(
+    # Jitted init: ONE compiled graph instead of hundreds of eagerly
+    # dispatched ops (each paying a tunnel RTT on the axon backend — the
+    # same fix that took the U-Net init 81s → 9s, PERFORMANCE.md).
+    variables = jax.jit(model.init)(
         jax.random.PRNGKey(seed), jnp.zeros((1, 299, 299, 3))
     )
     for path in ([weights_path] if weights_path else _WEIGHTS_SEARCH_PATHS):

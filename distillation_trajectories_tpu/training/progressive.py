@@ -122,6 +122,10 @@ def make_progressive_distill_step(
 
     @partial(jax.jit, donate_argnums=(1,))
     def _step(t_vars, state: TrainState, images: jnp.ndarray, key: jax.Array):
+        # Converted INSIDE the trace so the host schedule constants embed
+        # into the IR from host memory (see get_diffusion_params).
+        teacher_alphas_ = jnp.asarray(teacher_alphas)
+        student_alphas_ = jnp.asarray(student_alphas)
         teacher_fn = make_eval_model_fn(teacher_model, t_vars)
         b = images.shape[0]
         kj, kn, kd, kw = jax.random.split(key, 4)
@@ -165,16 +169,16 @@ def make_progressive_distill_step(
 
         # Two deterministic teacher engine steps.
         eps1 = jax.lax.stop_gradient(teacher_eps(x_t, t.astype(jnp.float32)))
-        c1a, c2a = _engine_c(teacher_alphas[t], teacher_alphas[t - 1])
+        c1a, c2a = _engine_c(teacher_alphas_[t], teacher_alphas_[t - 1])
         x_mid = bcast(c1a) * x_t - bcast(c2a) * eps1
         eps2 = jax.lax.stop_gradient(
             teacher_eps(x_mid, (t - 1).astype(jnp.float32))
         )
-        c1b, c2b = _engine_c(teacher_alphas[t - 1], teacher_alphas[t - 2])
+        c1b, c2b = _engine_c(teacher_alphas_[t - 1], teacher_alphas_[t - 2])
         x_target = bcast(c1b) * x_mid - bcast(c2b) * eps2
 
         # Student single step at index j on ITS OWN sampling schedule.
-        c1s, c2s = _engine_c(student_alphas[j], student_alphas[j - 1])
+        c1s, c2s = _engine_c(student_alphas_[j], student_alphas_[j - 1])
         eps_star = (bcast(c1s) * x_t - x_target) / bcast(c2s)
 
         def loss_fn(params):

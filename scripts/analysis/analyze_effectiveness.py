@@ -14,7 +14,7 @@ import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-from _common import load_teacher_from_arg, load_student, parse_float_list, project_root  # noqa: E402
+from _common import load_teacher_from_arg, load_student, parse_float_list, preflight_probe, project_root  # noqa: E402
 
 import numpy as np  # noqa: E402
 
@@ -203,6 +203,7 @@ def create_consolidated_cfg_graph(output_dir, size_factors, guidance_scales,
 
 def main():
     args = parse_args()
+    preflight_probe()
 
     from distillation_trajectories_tpu import Config
 

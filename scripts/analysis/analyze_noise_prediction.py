@@ -10,7 +10,7 @@ import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-from _common import load_teacher_from_arg, load_student, parse_float_list, project_root  # noqa: E402
+from _common import load_teacher_from_arg, load_student, parse_float_list, preflight_probe, project_root  # noqa: E402
 
 
 def main():
@@ -22,6 +22,7 @@ def main():
     parser.add_argument("--size_factors", type=str, default="0.1,0.5,1.0")
     parser.add_argument("--timesteps", type=int, default=None)
     args = parser.parse_args()
+    preflight_probe()
 
     from distillation_trajectories_tpu import Config
     from distillation_trajectories_tpu.analysis import analyze_noise_prediction

@@ -15,7 +15,7 @@ import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-from _common import load_teacher_from_arg, load_student, parse_float_list, project_root  # noqa: E402
+from _common import load_teacher_from_arg, load_student, parse_float_list, preflight_probe, project_root  # noqa: E402
 
 import numpy as np  # noqa: E402
 
@@ -222,6 +222,7 @@ def visualize_trajectory_comparison(teacher_trajectories, student_trajectories,
 
 def main():
     args = parse_args()
+    preflight_probe()
 
     import jax
     import jax.numpy as jnp

@@ -21,6 +21,7 @@ from _common import (  # noqa: E402
     load_teacher_from_arg,
     load_student,
     parse_float_list,
+    preflight_probe,
     project_root,
 )
 
@@ -305,6 +306,7 @@ def main():
         return _time.perf_counter()
 
     args = parse_args()
+    preflight_probe()
 
     from distillation_trajectories_tpu import Config
     from distillation_trajectories_tpu.trajectories import (

@@ -275,3 +275,18 @@ def test_ancestral_mode_differs_from_reference_mode():
         mode="ancestral",
     )
     assert not np.allclose(np.asarray(a), np.asarray(b))
+
+
+def test_diffusion_params_are_host_arrays():
+    """Schedule tensors must be HOST (numpy) arrays: as device arrays,
+    closure-captured constants force ``jit(...).lower()`` to fetch each one
+    back over the axon tunnel (mlir.ir_constant -> array._value) — slow per
+    multi-architecture compile pool and a hard hang when the tunnel drops
+    mid-fetch (observed round 3, FID stage).  Traced indexing converts with
+    jnp.asarray at trace entry instead."""
+    import jax
+
+    dp = get_diffusion_params(10)
+    for k, v in dp.items():
+        assert not isinstance(v, jax.Array), k
+        assert isinstance(v, (np.ndarray, np.generic)), (k, type(v))

@@ -174,3 +174,46 @@ def test_fid_across_sizes_dedups_shared_architectures(test_config):
     assert set(scores) == {0.01, 0.05, 0.25}
     # One sampler for (teacher == 0.25 student) + one for the floor arch.
     assert len(calls) == 2, [tuple(m.dims) for m in calls]
+
+
+def test_fid_lowrank_fast_path_matches_sqrtm():
+    """The exact low-rank cross-term (SVD of A1 @ A2.T) must match the
+    reference's dense-sqrtm Fréchet formula to float64 noise.  Re-derived
+    independently here with scipy (test-suite convention: numpy/scipy
+    re-derivation, not a call back into the library)."""
+    from scipy import linalg
+
+    from distillation_trajectories_tpu.metrics.fid import calculate_fid
+
+    rng = np.random.default_rng(7)
+    d, n1, n2 = 48, 12, 9  # max(n) < d -> fast path taken
+    f1 = rng.normal(size=(n1, d))
+    f2 = rng.normal(loc=0.3, scale=1.2, size=(n2, d))
+
+    fast = calculate_fid(f1, f2)
+
+    mu1, mu2 = f1.mean(axis=0), f2.mean(axis=0)
+    s1 = np.cov(f1, rowvar=False)
+    s2 = np.cov(f2, rowvar=False)
+    covmean, _ = linalg.sqrtm(s1 @ s2, disp=False)
+    if np.iscomplexobj(covmean):
+        covmean = covmean.real
+    diff = mu1 - mu2
+    dense = float(diff @ diff + np.trace(s1) + np.trace(s2)
+                  - 2 * np.trace(covmean))
+
+    # sqrtm on the rank-deficient product is itself accurate only to ~1e-6
+    # here (scipy warns "Matrix is singular"); the SVD path is the exact one.
+    assert abs(fast - dense) < 1e-4 * max(1.0, abs(dense)), (fast, dense)
+
+
+def test_fid_dense_path_still_used_for_large_n():
+    """n >= d falls back to the reference's dense sqrtm formula."""
+    from distillation_trajectories_tpu.metrics.fid import calculate_fid
+
+    rng = np.random.default_rng(3)
+    d, n = 8, 64
+    f1 = rng.normal(size=(n, d))
+    f2 = rng.normal(size=(n, d))
+    v = calculate_fid(f1, f2)
+    assert np.isfinite(v) and v >= 0.0
