@@ -60,9 +60,19 @@ def run_stage(name, cmd, log_dir, timeout=None, retries=1):
     ok = False
     for attempt in range(retries + 1):
         if attempt > 0:
-            probe = wait_for_device(max_wait=900.0, interval=60.0)
+            # Outages of 1h+ have been observed; retrying into a dead
+            # tunnel burns the full stage timeout, so wait longer than the
+            # default probe budget and SKIP the retry if still down.
+            probe = wait_for_device(
+                max_wait=float(os.environ.get("DTT_PROBE_MAX_WAIT", "1800")),
+                interval=60.0,
+            )
             print(f"[sweep] pre-retry probe: {probe['status']} "
                   f"({probe['detail']})")
+            if probe["status"] == "down":
+                print(f"[sweep] stage {name}: device still down; "
+                      "aborting retry")
+                break
         # Append with a banner so a failed attempt's log survives the retry.
         with open(log_path, "a") as log:
             log.write(f"\n===== attempt {attempt + 1} =====\n")
