@@ -211,8 +211,13 @@ def main():
     # instead of a full device-bench attempt timeout.
     from distillation_trajectories_tpu.utils.tunnel import wait_for_device
 
-    probe = wait_for_device(max_wait=900.0, interval=60.0,
-                            log=lambda m: print(m, file=sys.stderr))
+    # Outages of 1h+ observed (round 3): wait out a dead tunnel rather than
+    # record 90x-inflated recovery-mode numbers.  DTT_PROBE_MAX_WAIT overrides.
+    probe = wait_for_device(
+        max_wait=float(os.environ.get("DTT_PROBE_MAX_WAIT", "2700")),
+        interval=60.0,
+        log=lambda m: print(m, file=sys.stderr),
+    )
     print(f"# preflight probe: {probe['status']} ({probe['detail']})",
           file=sys.stderr)
     # Even 'down'/'degraded' proceeds — the attempt loop below has its own
