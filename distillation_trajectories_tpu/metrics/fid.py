@@ -86,8 +86,9 @@ def calculate_fid(features1: np.ndarray, features2: np.ndarray) -> float:
     When both sample counts are below the feature dimension (always, at the
     workload's 50 samples × 2048-d features), the covariances have rank
     < d and the ``tr((Σ₁Σ₂)^{1/2})`` cross-term is computed EXACTLY from
-    the singular values of the n₁×n₂ matrix ``A₁ᵀA₂`` (Aᵢ = centered
-    features): the nonzero eigenvalues of Σ₁Σ₂ are σₖ(A₁ᵀA₂)²/((n₁−1)(n₂−1)),
+    the singular values of the n₁×n₂ matrix ``A₁A₂ᵀ`` (Aᵢ = centered
+    features as rows, Σᵢ = AᵢᵀAᵢ/(nᵢ−1)): the nonzero eigenvalues of Σ₁Σ₂
+    are σₖ(A₁A₂ᵀ)²/((n₁−1)(n₂−1)),
     so the trace is Σₖ σₖ/√((n₁−1)(n₂−1)).  This replaces scipy's dense
     2048² ``sqrtm`` (~25 s/call on this 1-core host; 13 calls dominated the
     FID stage) with a sub-millisecond SVD — same value to float64 noise
