@@ -213,8 +213,15 @@ def distill_diffusion_model(
         os.path.join(config.results_dir, f"distill_metrics_size_{size_factor}.jsonl")
     )
 
+    from ..utils.compile_pool import arm_watchdog, cancel_watchdog
+
     for epoch in range(config.epochs):
         t0 = time.time()
+        # Per-epoch tunnel-hang watchdog (no-op on CPU): a dropped RPC
+        # mid-epoch otherwise blocks until the workload runner's stage
+        # timeout (observed: 3600s burned on one hang).  Worst measured
+        # epoch incl. first-dispatch is ~70s; 600s is generous.
+        arm_watchdog(600.0)
         # Device-side loss accumulation: a float(loss) per step costs one
         # tunnel RTT per batch and blocks async dispatch pipelining.
         losses = []
@@ -284,6 +291,7 @@ def distill_diffusion_model(
                     figsize=config.samples_figure_size,
                 )
 
+    cancel_watchdog()
     metrics_log.close()
     if own_writer:
         writer.close()
@@ -307,18 +315,49 @@ def train_students(
     custom_size_factors: Optional[List[float]] = None,
     seed: int = 0,
     sweep_parallel: bool = False,
+    skip_existing: bool = False,
 ) -> Dict[float, Tuple[object, dict]]:
     """Distill students for every size factor (reference train_students.py:214-268).
 
     ``sweep_parallel=True`` distributes the sweep itself across devices —
     student *i* pinned to device ``i % n`` with async-dispatched steps
     (parallel/sweep.py) — instead of the reference's sequential loop.
+
+    ``skip_existing=True`` skips (and loads instead) any size factor whose
+    FINAL-epoch checkpoint already exists — the workload runner's stage
+    retry passes this so a sweep interrupted by a tunnel outage resumes at
+    the first unfinished student instead of retraining everything.  Off by
+    default: a fresh timed run must not silently reuse a previous run's
+    checkpoints.
     """
     with phase_timer("students/teacher_load"):
         teacher_model, teacher_variables = load_teacher(config)
     size_factors = (
         custom_size_factors if custom_size_factors else config.student_size_factors
     )
+
+    preloaded: Dict[float, Tuple[object, dict]] = {}
+    if skip_existing:
+        remaining = []
+        for sf in size_factors:
+            final = os.path.join(
+                config.student_dir(sf), f"model_epoch_{config.epochs}.msgpack"
+            )
+            if os.path.exists(final):
+                payload = load_checkpoint(config.student_dir(sf), config.epochs)
+                preloaded[sf] = (
+                    make_unet(config, size_factor=sf),
+                    variables_from_checkpoint(payload),
+                )
+                print(f"[students] sf={sf}: final checkpoint exists, skipping "
+                      f"({final})")
+            else:
+                remaining.append(sf)
+        size_factors = remaining
+        if not size_factors:
+            print("[students] all requested sizes already trained")
+            return preloaded
+
     print_size_factor_info(size_factors)
 
     if sweep_parallel:
@@ -331,9 +370,11 @@ def train_students(
                 "student trains unsharded on its own device. Drop --mesh or "
                 "--sweep_parallel to get SPMD sharding."
             )
-        return distill_students_parallel(
+        parallel_students = distill_students_parallel(
             config, teacher_model, teacher_variables, size_factors, seed=seed
         )
+        parallel_students.update(preloaded)
+        return parallel_students
 
     # Build every student up front and AOT-compile all distill steps in a
     # thread pool: each size factor is a distinct architecture with its own
@@ -441,4 +482,5 @@ def train_students(
         dump_phase_times(
             os.path.join(config.results_dir, "students_phase_times.json")
         )
+    students.update(preloaded)
     return students

@@ -43,7 +43,8 @@ from distillation_trajectories_tpu.utils.tunnel import (  # noqa: E402
 SIZE_FACTORS = "0.01,0.05,0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.75,0.8,0.9,1.0"
 
 
-def run_stage(name, cmd, log_dir, timeout=None, retries=1):
+def run_stage(name, cmd, log_dir, timeout=None, retries=1,
+              retry_extra_args=None):
     """Run one stage as a subprocess with a hang timeout and retry.
 
     The tunneled TPU backend occasionally drops an RPC mid-compile and the
@@ -77,9 +78,12 @@ def run_stage(name, cmd, log_dir, timeout=None, retries=1):
         with open(log_path, "a") as log:
             log.write(f"\n===== attempt {attempt + 1} =====\n")
             log.flush()
+            attempt_cmd = list(cmd)
+            if attempt > 0 and retry_extra_args:
+                attempt_cmd += list(retry_extra_args)
             try:
                 proc = subprocess.run(
-                    cmd, stdout=log, stderr=subprocess.STDOUT,
+                    attempt_cmd, stdout=log, stderr=subprocess.STDOUT,
                     cwd=project_root, timeout=timeout,
                 )
                 ok = proc.returncode == 0
@@ -160,6 +164,11 @@ def main():
             log_dir,
             timeout=3600,
             retries=1,
+            # Resume at the first unfinished student on retry — attempt 1's
+            # completed checkpoints are this run's own work, so reusing
+            # them keeps the timing record honest (the outage + both
+            # attempts are all inside the stage wall).
+            retry_extra_args=["--skip_existing"],
         )
         if not stages["students"]["ok"]:
             _write(args.tag, stages, t_start, ok=False)

@@ -50,6 +50,12 @@ def main():
         "(one student per device, concurrent steps) instead of the "
         "reference's sequential loop",
     )
+    parser.add_argument(
+        "--skip_existing", action="store_true",
+        help="Skip size factors whose final-epoch checkpoint already "
+        "exists (loads them instead) — used by run_full_sweep's stage "
+        "retry to resume an outage-interrupted sweep",
+    )
     args = parser.parse_args()
 
     from distillation_trajectories_tpu import Config
@@ -95,6 +101,7 @@ def main():
         custom_size_factors=custom,
         seed=args.seed,
         sweep_parallel=args.sweep_parallel,
+        skip_existing=args.skip_existing,
     )
 
 

@@ -68,3 +68,50 @@ def test_preflight_aborts_on_dead_tunnel(tmp_path, monkeypatch):
         payload = json.load(f)
     assert payload["ok"] is False
     assert payload["preflight_probe"]["status"] == "down"
+
+
+def test_retry_appends_extra_args_and_aborts_when_down(tmp_path, monkeypatch):
+    """run_stage: attempt 2 carries retry_extra_args (the students stage's
+    --skip_existing resume), and a still-down pre-retry probe aborts the
+    retry instead of burning the stage timeout."""
+    rfs = importlib.import_module("run_full_sweep")
+    monkeypatch.setattr(rfs, "project_root", str(tmp_path))
+    ok_probe = {"status": "ok", "rtt_s": 0.03, "init_s": 1.0,
+                "platform": "tpu", "detail": "fine"}
+    monkeypatch.setattr(rfs, "wait_for_device", lambda **kw: dict(ok_probe))
+
+    calls = []
+
+    class _Proc:
+        def __init__(self, rc):
+            self.returncode = rc
+
+    def fake_run(cmd, **kw):
+        calls.append(list(cmd))
+        return _Proc(1 if len(calls) == 1 else 0)
+
+    monkeypatch.setattr(rfs.subprocess, "run", fake_run)
+    out = rfs.run_stage(
+        "students", ["python", "train.py"], str(tmp_path),
+        retries=1, retry_extra_args=["--skip_existing"],
+    )
+    assert out["ok"] is True
+    assert calls[0] == ["python", "train.py"]
+    assert calls[1] == ["python", "train.py", "--skip_existing"]
+
+    # Still-down probe: no second subprocess launch.
+    down = {"status": "down", "rtt_s": None, "init_s": None,
+            "platform": None, "detail": "hung"}
+    monkeypatch.setattr(rfs, "wait_for_device", lambda **kw: dict(down))
+    calls.clear()
+
+    def always_fail(cmd, **kw):
+        calls.append(list(cmd))
+        return _Proc(1)
+
+    monkeypatch.setattr(rfs.subprocess, "run", always_fail)
+    out = rfs.run_stage(
+        "students", ["python", "train.py"], str(tmp_path), retries=1,
+    )
+    assert out["ok"] is False
+    assert len(calls) == 1  # retry aborted, not launched into a dead tunnel

@@ -233,3 +233,54 @@ def test_teacher_ema_updates(test_config):
     new = np.asarray(jax.tree_util.tree_leaves(state.params)[0])
     # ema = 0.9*old + 0.1*new
     np.testing.assert_allclose(ema, 0.9 * p0 + 0.1 * new, rtol=1e-5, atol=1e-7)
+
+
+def test_train_students_skip_existing(test_config, monkeypatch):
+    """skip_existing: size factors with a final-epoch checkpoint are loaded
+    instead of retrained (the workload runner's outage-resume path); the
+    rest train normally and both land in the returned dict."""
+    import jax
+
+    from distillation_trajectories_tpu.models import make_unet
+    from distillation_trajectories_tpu.training import students as st
+    from distillation_trajectories_tpu.training.checkpoints import save_checkpoint
+
+    cfg = test_config
+    cfg.epochs = 1
+    x0 = np.zeros((1, cfg.image_size, cfg.image_size, cfg.channels), np.float32)
+    t0 = np.zeros((1,), np.int32)
+
+    teacher = make_unet(cfg, size_factor=1.0)
+    tvars = teacher.init(jax.random.PRNGKey(0), x0, t0)
+    save_checkpoint(cfg.teacher_models_dir, 1, tvars["params"],
+                    batch_stats=tvars.get("batch_stats"))
+
+    done = make_unet(cfg, size_factor=0.25)
+    dvars = done.init(jax.random.PRNGKey(1), x0, t0)
+    save_checkpoint(cfg.student_dir(0.25), cfg.epochs, dvars["params"],
+                    batch_stats=dvars.get("batch_stats"))
+
+    trained = []
+
+    def fake_distill(teacher_model, teacher_variables, config,
+                     size_factor=1.0, **kw):
+        trained.append(size_factor)
+        return object(), {"params": {}, "batch_stats": {}}
+
+    monkeypatch.setattr(st, "distill_diffusion_model", fake_distill)
+    # distill is mocked — the AOT precompile pool would only burn suite time
+    monkeypatch.setenv("DTT_PRECOMPILE", "0")
+
+    out = st.train_students(
+        cfg, custom_size_factors=[0.25, 0.5], skip_existing=True
+    )
+    assert trained == [0.5], trained  # only the unfinished size trains
+    assert set(out) == {0.25, 0.5}
+    # The skipped entry is a real loaded model+variables pair.
+    loaded_model, loaded_vars = out[0.25]
+    assert "params" in loaded_vars
+
+    # Without the flag, everything (re)trains.
+    trained.clear()
+    out2 = st.train_students(cfg, custom_size_factors=[0.25, 0.5])
+    assert trained == [0.25, 0.5], trained
