@@ -213,8 +213,10 @@ def main():
 
     # Outages of 1h+ observed (round 3): wait out a dead tunnel rather than
     # record 90x-inflated recovery-mode numbers.  DTT_PROBE_MAX_WAIT overrides.
+    from distillation_trajectories_tpu.utils.tunnel import PROBE_MAX_WAIT_S
+
     probe = wait_for_device(
-        max_wait=float(os.environ.get("DTT_PROBE_MAX_WAIT", "2700")),
+        max_wait=PROBE_MAX_WAIT_S,
         interval=60.0,
         log=lambda m: print(m, file=sys.stderr),
     )

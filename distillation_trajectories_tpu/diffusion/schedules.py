@@ -102,6 +102,11 @@ def get_diffusion_params(
         / (1.0 - alphas_cumprod),
     }
     params = {k: np.asarray(v, dtype=np.float32) for k, v in host.items()}
+    for v in params.values():
+        # The shallow dict copy below shares these arrays process-wide; an
+        # in-place edit by any caller would corrupt every later schedule
+        # (jax Arrays were immutable — preserve that guarantee).
+        v.setflags(write=False)
     params["timesteps"] = np.int32(sample_steps)
     _PARAMS_CACHE[cache_key] = params
     return dict(params)

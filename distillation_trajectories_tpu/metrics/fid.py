@@ -207,9 +207,10 @@ def _fid_report(
     when the caller already extracted them (e.g. :func:`fid_across_sizes`
     holds one teacher set fixed across many students and batches every
     device fetch into one transfer)."""
-    print("  Extracting features using InceptionV3...")
-    if inception is None and (teacher_features is None or student_features is None):
-        inception = InceptionModel()
+    if teacher_features is None or student_features is None:
+        print("  Extracting features using InceptionV3...")
+        if inception is None:
+            inception = InceptionModel()
     if teacher_features is None:
         teacher_features = inception.get_features(teacher_samples)
     if student_features is None:

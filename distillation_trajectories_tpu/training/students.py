@@ -215,83 +215,88 @@ def distill_diffusion_model(
 
     from ..utils.compile_pool import arm_watchdog, cancel_watchdog
 
-    for epoch in range(config.epochs):
-        t0 = time.time()
-        # Per-epoch tunnel-hang watchdog (no-op on CPU): a dropped RPC
-        # mid-epoch otherwise blocks until the workload runner's stage
-        # timeout (observed: 3600s burned on one hang).  Worst measured
-        # epoch incl. first-dispatch is ~70s; 600s is generous.
-        arm_watchdog(600.0)
-        # Device-side loss accumulation: a float(loss) per step costs one
-        # tunnel RTT per batch and blocks async dispatch pipelining.
-        losses = []
-        progress = _progress(
-            loader, f"Distillation Epoch {epoch + 1}/{config.epochs}", config
-        )
-        with phase_timer(f"distill_epoch_sf{size_factor}"):
-            for batch_idx, (images, _) in enumerate(progress):
-                if (
-                    config.limit_batches_per_epoch is not None
-                    and batch_idx >= config.limit_batches_per_epoch
-                ):
-                    break
-                key, step_key = jax.random.split(key)
-                if mesh is not None:
-                    images = shard_batch(images, mesh)
-                    step_key = jax.device_put(step_key, replicated(mesh))
-                else:
-                    images = jnp.asarray(images)
-                state, loss = train_step(state, images, step_key)
-                losses.append(loss)
-                if log_every and (batch_idx + 1) % log_every == 0:
-                    running = float(np.mean(jax.device_get(losses)))
-                    if hasattr(progress, "set_postfix"):
-                        progress.set_postfix(loss=running)
-                    else:
-                        print(
-                            f"[distill sf={size_factor}] epoch {epoch + 1} "
-                            f"batch {batch_idx + 1}/{len(loader)} "
-                            f"loss {running:.6f}"
-                        )
-        n_batches = len(losses)
-        avg_loss = float(np.mean(jax.device_get(losses))) if losses else 0.0
-        print(
-            f"[distill sf={size_factor}] epoch {epoch + 1}/{config.epochs} "
-            f"avg loss {avg_loss:.6f} "
-            f"({time.time() - t0:.1f}s)"
-        )
-        metrics_log.log(
-            "epoch", epoch=epoch + 1, size_factor=size_factor,
-            avg_loss=avg_loss, seconds=time.time() - t0,
-        )
-
-        if (epoch + 1) % config.save_interval == 0 or epoch == config.epochs - 1:
-            size_dir = config.student_dir(size_factor)
-            writer.save(
-                size_dir,
-                epoch + 1,
-                state.params,
-                batch_stats=state.batch_stats,
-                opt_state=state.opt_state,
+    try:
+        for epoch in range(config.epochs):
+            t0 = time.time()
+            # Per-epoch tunnel-hang watchdog (no-op on CPU): a dropped RPC
+            # mid-epoch otherwise blocks until the workload runner's stage
+            # timeout (observed: 3600s burned on one hang).  Epoch 0 may pay a
+            # full from-scratch jit compile when the AOT pool was skipped
+            # (single size factor, DTT_PRECOMPILE=0) — budget the known ~5min
+            # compile envelope with 2x variance; later epochs are execution
+            # only (worst measured ~70s).
+            arm_watchdog(1800.0 if epoch == 0 else 600.0)
+            # Device-side loss accumulation: a float(loss) per step costs one
+            # tunnel RTT per batch and blocks async dispatch pipelining.
+            losses = []
+            progress = _progress(
+                loader, f"Distillation Epoch {epoch + 1}/{config.epochs}", config
             )
-            if epoch == config.epochs - 1 and config.num_samples_to_generate > 0:
-                # End-of-training sample grid (train_students.py:190-210)
-                key, sample_key = jax.random.split(key)
-                with phase_timer("students/grid"):
-                    samples = np.asarray(built["grid_fn"](
-                        state.params, state.batch_stats, sample_key
-                    ))
-                save_image_grid(
-                    samples,
-                    os.path.join(
-                        config.results_dir,
-                        f"student_samples_size_{size_factor}_epoch_{epoch + 1}.png",
-                    ),
-                    nrow=config.samples_grid_size,
-                    figsize=config.samples_figure_size,
-                )
+            with phase_timer(f"distill_epoch_sf{size_factor}"):
+                for batch_idx, (images, _) in enumerate(progress):
+                    if (
+                        config.limit_batches_per_epoch is not None
+                        and batch_idx >= config.limit_batches_per_epoch
+                    ):
+                        break
+                    key, step_key = jax.random.split(key)
+                    if mesh is not None:
+                        images = shard_batch(images, mesh)
+                        step_key = jax.device_put(step_key, replicated(mesh))
+                    else:
+                        images = jnp.asarray(images)
+                    state, loss = train_step(state, images, step_key)
+                    losses.append(loss)
+                    if log_every and (batch_idx + 1) % log_every == 0:
+                        running = float(np.mean(jax.device_get(losses)))
+                        if hasattr(progress, "set_postfix"):
+                            progress.set_postfix(loss=running)
+                        else:
+                            print(
+                                f"[distill sf={size_factor}] epoch {epoch + 1} "
+                                f"batch {batch_idx + 1}/{len(loader)} "
+                                f"loss {running:.6f}"
+                            )
+            n_batches = len(losses)
+            avg_loss = float(np.mean(jax.device_get(losses))) if losses else 0.0
+            print(
+                f"[distill sf={size_factor}] epoch {epoch + 1}/{config.epochs} "
+                f"avg loss {avg_loss:.6f} "
+                f"({time.time() - t0:.1f}s)"
+            )
+            metrics_log.log(
+                "epoch", epoch=epoch + 1, size_factor=size_factor,
+                avg_loss=avg_loss, seconds=time.time() - t0,
+            )
 
-    cancel_watchdog()
+            if (epoch + 1) % config.save_interval == 0 or epoch == config.epochs - 1:
+                size_dir = config.student_dir(size_factor)
+                writer.save(
+                    size_dir,
+                    epoch + 1,
+                    state.params,
+                    batch_stats=state.batch_stats,
+                    opt_state=state.opt_state,
+                )
+                if epoch == config.epochs - 1 and config.num_samples_to_generate > 0:
+                    # End-of-training sample grid (train_students.py:190-210)
+                    key, sample_key = jax.random.split(key)
+                    with phase_timer("students/grid"):
+                        samples = np.asarray(built["grid_fn"](
+                            state.params, state.batch_stats, sample_key
+                        ))
+                    save_image_grid(
+                        samples,
+                        os.path.join(
+                            config.results_dir,
+                            f"student_samples_size_{size_factor}_epoch_{epoch + 1}.png",
+                        ),
+                        nrow=config.samples_grid_size,
+                        figsize=config.samples_figure_size,
+                    )
+
+    finally:
+        cancel_watchdog()
     metrics_log.close()
     if own_writer:
         writer.close()
@@ -338,17 +343,34 @@ def train_students(
 
     preloaded: Dict[float, Tuple[object, dict]] = {}
     if skip_existing:
+        # Only checkpoints NEWER than the current teacher's latest count as
+        # "this run's own work": a student distilled from an older teacher
+        # (a previous sweep's leftover in the same output dir) must retrain,
+        # or every downstream stage would compare the new teacher against
+        # stale mismatched students.
+        from .checkpoints import checkpoint_path, latest_epoch
+
+        t_epoch = latest_epoch(config.teacher_models_dir)
+        teacher_mtime = (
+            os.path.getmtime(checkpoint_path(config.teacher_models_dir, t_epoch))
+            if t_epoch is not None else 0.0
+        )
         remaining = []
         for sf in size_factors:
             final = os.path.join(
                 config.student_dir(sf), f"model_epoch_{config.epochs}.msgpack"
             )
-            if os.path.exists(final):
+            if os.path.exists(final) and os.path.getmtime(final) >= teacher_mtime:
                 payload = load_checkpoint(config.student_dir(sf), config.epochs)
-                preloaded[sf] = (
-                    make_unet(config, size_factor=sf),
-                    variables_from_checkpoint(payload),
-                )
+                # Host-resident on purpose: the resume path's caller (the
+                # workload runner via the CLI) discards the return value, so
+                # device-materializing up to 12 finished students would be
+                # pure wasted tunnel transfer.  In-process consumers should
+                # variables_from_checkpoint/device_put what they keep.
+                variables = {"params": payload["params"]}
+                if "batch_stats" in payload:
+                    variables["batch_stats"] = payload["batch_stats"]
+                preloaded[sf] = (make_unet(config, size_factor=sf), variables)
                 print(f"[students] sf={sf}: final checkpoint exists, skipping "
                       f"({final})")
             else:

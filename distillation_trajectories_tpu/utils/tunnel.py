@@ -30,6 +30,12 @@ import time
 # the exact threshold is uncritical.
 DEGRADED_RTT_S = float(os.environ.get("DTT_PROBE_DEGRADED_RTT", "0.5"))
 
+# Shared wall-clock budget for "wait out an outage before a measured run /
+# stage retry" callers (bench.py, run_full_sweep.py).  Outages of 1h+ have
+# been observed; 30 min balances riding out the common case against not
+# stalling a whole round.
+PROBE_MAX_WAIT_S = float(os.environ.get("DTT_PROBE_MAX_WAIT", "1800"))
+
 # The probe child: compile a trivial jit, then time 3 dispatches with
 # varying inputs (identical args would be served from the backend's
 # execution cache) and a host read as the barrier.

@@ -216,9 +216,10 @@ def exp_ablate(batch=256):
 
     # D: update tail only (PRNG fold-in + noise + c1/c2/sigma elementwise).
     def tail_only(x, t, s):
+        a = jnp.asarray(alphas)  # host constants (see get_diffusion_params)
         key = jax.random.fold_in(jax.random.PRNGKey(s), t)
         step_noise = jax.random.normal(key, x.shape, dtype=x.dtype)
-        return engine_update(x, x * 1e-3, step_noise, alphas[t], alphas[t - 1])
+        return engine_update(x, x * 1e-3, step_noise, a[t], a[t - 1])
 
     jit_tail = scan_of(tail_only)
     t_tail = _time(lambda: jit_tail(noise, jnp.int32(next(seeds))))

@@ -36,6 +36,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from _common import project_root  # noqa: E402
 
 from distillation_trajectories_tpu.utils.tunnel import (  # noqa: E402
+    PROBE_MAX_WAIT_S,
     probe_device,
     wait_for_device,
 )
@@ -64,10 +65,7 @@ def run_stage(name, cmd, log_dir, timeout=None, retries=1,
             # Outages of 1h+ have been observed; retrying into a dead
             # tunnel burns the full stage timeout, so wait longer than the
             # default probe budget and SKIP the retry if still down.
-            probe = wait_for_device(
-                max_wait=float(os.environ.get("DTT_PROBE_MAX_WAIT", "1800")),
-                interval=60.0,
-            )
+            probe = wait_for_device(max_wait=PROBE_MAX_WAIT_S, interval=60.0)
             print(f"[sweep] pre-retry probe: {probe['status']} "
                   f"({probe['detail']})")
             if probe["status"] == "down":
