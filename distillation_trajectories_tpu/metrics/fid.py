@@ -356,32 +356,41 @@ def fid_across_sizes(
 
     from ..utils.compile_pool import arm_watchdog, cancel_watchdog
 
-    t0 = _time.perf_counter()
-    # Dispatch is async (~RTT per call); the deadline only guards a hung
-    # tunnel RPC, not compute.
-    arm_watchdog(120.0 + 3.0 * len(student_fns))
-    # Duck-typed extractors (tests, external featurizers) may only provide
-    # the host-side get_features; device_get passes numpy through unchanged.
-    featurize = getattr(inception, "features_device", inception.get_features)
-    teacher_samples = teacher_fn(k1)
-    teacher_features_dev = featurize(teacher_samples)
-    n_show = min(5, num_samples)
-    per_sf_dev = {}
-    for sf, fn in student_fns.items():
-        student_samples = fn(k2)
-        per_sf_dev[sf] = (student_samples[:n_show], featurize(student_samples))
-    t_dispatch = _time.perf_counter() - t0
+    # try/finally matches the trainers: an exception between arm and
+    # cancel (e.g. a transient tunnel error a caller catches) must not
+    # leave the exit=True faulthandler timer armed to kill the process.
+    try:
+        t0 = _time.perf_counter()
+        # Dispatch is async (~RTT per call); the deadline only guards a
+        # hung tunnel RPC, not compute.
+        arm_watchdog(120.0 + 3.0 * len(student_fns))
+        # Duck-typed extractors (tests, external featurizers) may only
+        # provide the host-side get_features; device_get passes numpy
+        # through unchanged.
+        featurize = getattr(
+            inception, "features_device", inception.get_features)
+        teacher_samples = teacher_fn(k1)
+        teacher_features_dev = featurize(teacher_samples)
+        n_show = min(5, num_samples)
+        per_sf_dev = {}
+        for sf, fn in student_fns.items():
+            student_samples = fn(k2)
+            per_sf_dev[sf] = (
+                student_samples[:n_show], featurize(student_samples))
+        t_dispatch = _time.perf_counter() - t0
 
-    # Phase 2 — ONE host fetch for every array the report needs (per-size
-    # np.asarray reads each paid a tunnel RTT; see PERFORMANCE.md).  The
-    # fetch blocks until the whole dispatched pipeline completes, so its
-    # deadline budgets real compute for all sample sets, not just the RPC.
-    t0 = _time.perf_counter()
-    arm_watchdog(600.0 + 20.0 * len(student_fns))
-    teacher_show, teacher_features, per_sf = jax.device_get(
-        (teacher_samples[:n_show], teacher_features_dev, per_sf_dev)
-    )
-    cancel_watchdog()
+        # Phase 2 — ONE host fetch for every array the report needs
+        # (per-size np.asarray reads each paid a tunnel RTT; see
+        # PERFORMANCE.md).  The fetch blocks until the whole dispatched
+        # pipeline completes, so its deadline budgets real compute for
+        # all sample sets, not just the RPC.
+        t0 = _time.perf_counter()
+        arm_watchdog(600.0 + 20.0 * len(student_fns))
+        teacher_show, teacher_features, per_sf = jax.device_get(
+            (teacher_samples[:n_show], teacher_features_dev, per_sf_dev)
+        )
+    finally:
+        cancel_watchdog()
     t_fetch = _time.perf_counter() - t0
 
     # Phase 3 — host-only Fréchet math + grid/txt artifacts.

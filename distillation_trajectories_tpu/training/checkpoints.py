@@ -151,8 +151,13 @@ class AsyncCheckpointWriter:
         # instead of staying silent until flush/close — later epochs would
         # otherwise keep training against a checkpoint directory that
         # stopped persisting.
-        done = [f for f in self._futures if f.done()]
-        self._futures = [f for f in self._futures if not f.done()]
+        # Partition with ONE f.done() call per future: a future completing
+        # between two separate passes would otherwise vanish from both
+        # lists and its failure would never be retrieved.
+        done, pending = [], []
+        for f in self._futures:
+            (done if f.done() else pending).append(f)
+        self._futures = pending
         self._futures.append(self._pool.submit(write))
         _raise_first(done)
 

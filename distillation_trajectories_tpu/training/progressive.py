@@ -112,6 +112,19 @@ def make_progressive_distill_step(
     previous guided round's student), evaluated in a single forward at
     cond=w; later halvings therefore cost 2 teacher forwards, not 4.
 
+    Schedule-consistency caveat (deliberate, do NOT "fix" one side alone):
+    j ~ U[1, S) maps to teacher pairs (2j, 2j−1), covering teacher steps
+    2..2S−2 — the teacher's TOP step t = 2S−1 (its first update from pure
+    noise) is never distilled, and the student's own top step j = S−1
+    trains on q_sample inputs at t = 2S−2 while receiving pure noise at
+    sampling time.  This mismatch is forced by the reference sampler's odd
+    step count (a T-step chain makes 2S−1 real updates, not 2(S−1); see
+    generate_trajectory_scan's no-op t=0 step), and measured quality impact
+    is small (PERFORMANCE.md progressive results).  Any remapping must keep
+    the train-time pair composition and the sample-time schedule consistent
+    with each other — shifting one without the other silently changes what
+    the student's top step means.
+
     Returns a callable factory: ``make_...(...)(teacher_variables)`` gives
     ``step(state, images, key) -> (state, loss)`` with ``lower`` exposed for
     AOT compile pools; teacher variables ride as a jit ARGUMENT (see
