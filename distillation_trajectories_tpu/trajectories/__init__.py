@@ -6,5 +6,6 @@ from .engine import (
     make_paired_trajectory_fn,
     make_sweep_trajectory_fn,
     sweep_compare_trajectories,
+    sweep_compare_trajectories_multi,
 )
 from .manager import TrajectoryManager, generate_trajectories_with_disk_storage

@@ -262,6 +262,268 @@ def _sweep_inputs(config, num_samples: int, base_seed: int):
     return noises, seeds, mesh
 
 
+def _sweep_compare_multi_impl(
+    teacher_model,
+    teacher_variables,
+    jobs: Sequence[dict],
+    config,
+    compile_workers: int = None,
+    verbose: bool = True,
+) -> List[Dict[float, Dict[str, Dict[float, Dict[str, float]]]]]:
+    """Teacher-vs-student metric sweeps over many (students, T) JOBS at once.
+
+    Same per-(size, scale) results as calling :func:`compare_trajectories`
+    per size (reference sweep loop, analyze_trajectory_metrics.py:433-466),
+    restructured for compile efficiency on TPU:
+
+    * teacher trajectories are generated ONCE per (T, guidance scale) cell
+      and cached ACROSS jobs (they do not depend on the student), so e.g.
+      two jobs sharing T reuse every teacher chain;
+    * each size factor compiles a student-only scan (roughly half the graph
+      of the old paired teacher+student scan), deduped across jobs by
+      (model, variables, T) identity;
+    * the metric suite compiles once per (T, samples) shape (module-level
+      jit);
+    * ALL jobs' executables are AOT-compiled in ONE concurrent pool
+      (``jit.lower().compile()`` in ``compile_workers`` threads) — XLA
+      compilation releases the GIL and the axon backend compiles
+      server-side, so the combined compile wall-clock approaches the single
+      slowest graph instead of the per-job sums (the round-3 workload ran
+      the flagship sweep and the trio comparison as separate processes,
+      paying two pools and two checkpoint loads);
+    * every job's executions are dispatched asynchronously and ALL metric
+      scalars are fetched in one ``device_get``.
+
+    Args:
+        jobs: each a dict with keys ``students`` (``{sf: (model, vars)}``),
+            ``guidance_scales``, ``num_samples``, ``base_seed``, and
+            ``timesteps`` (defaults to ``config.timesteps``).
+    Returns:
+        One result per job: ``{size_factor: {"teacher_metrics": {gs: {...}},
+        "student_metrics": {gs: {...}}}}`` — the same structure
+        :func:`compare_trajectories` returns.
+    """
+    import time as _time
+
+    from ..utils.compile_pool import arm_watchdog, compile_concurrently
+
+    jobs = [dict(job) for job in jobs]
+    for job in jobs:
+        job.setdefault("guidance_scales", (1.0, 3.0, 5.0))
+        job.setdefault("num_samples", 3)
+        job.setdefault("base_seed", 42)
+        job.setdefault("timesteps", config.timesteps)
+
+    # Tunnel-hang watchdog (utils/compile_pool.py): re-armed per phase so a
+    # dropped RPC in any of inputs/tracing, compile, or execution dumps
+    # stacks and exits instead of hanging forever — callers
+    # (run_full_sweep.py) treat the non-zero exit as transient and retry.
+    # Deadlines scale with workload size (a bigger sweep — more samples,
+    # scales, sizes, steps, or jobs — must not be hard-killed
+    # mid-legitimate-run); DTT_COMPILE_TIMEOUT still overrides every phase.
+    work_scale = max(
+        1.0,
+        sum(
+            (len(job["students"]) + 1)
+            * len(job["guidance_scales"])
+            * job["num_samples"]
+            * job["timesteps"]
+            for job in jobs
+        )
+        / (9.0 * 10 * 10 * 100),
+    )
+    arm_watchdog(300.0 * work_scale)  # inputs + tracing
+    t_setup = _time.perf_counter()
+    gs_example = jnp.float32(1.0)
+    cfg_pairs = jnp.asarray(CFG_COND_PAIRS)
+    nocfg_pairs = jnp.asarray(NOCFG_COND_PAIRS)
+
+    # Shared-input / executable caches across jobs.  Identity keys are safe:
+    # callers (the multi-job CLI) load each checkpoint once and pass the
+    # same model/variables objects to every job that uses them.
+    inputs_cache: Dict[tuple, tuple] = {}      # (S, seed) -> (noises, seeds, mesh)
+    keys_cache: Dict[tuple, jax.Array] = {}    # (S, seed, mesh?) -> metric keys
+    fn_cache: Dict[tuple, object] = {}         # (id(model), id(vars), T) -> fn
+
+    def job_inputs(job):
+        k = (job["num_samples"], job["base_seed"])
+        if k not in inputs_cache:
+            inputs_cache[k] = _sweep_inputs(config, *k)
+        return inputs_cache[k]
+
+    def job_keys(job, mesh):
+        k = (job["num_samples"], job["base_seed"], mesh is not None)
+        if k not in keys_cache:
+            keys = jax.random.split(
+                jax.random.PRNGKey(job["base_seed"]), job["num_samples"]
+            )
+            if mesh is not None:
+                keys = jax.device_put(keys, batch_sharding(mesh))
+            keys_cache[k] = keys
+        return keys_cache[k]
+
+    def model_fn_for(model, variables, timesteps):
+        k = (id(model), id(variables), timesteps)
+        if k not in fn_cache:
+            fn_cache[k] = make_sweep_trajectory_fn(
+                model, variables, timesteps, config
+            )
+        return fn_cache[k]
+
+    # Per-job fn tables (teacher + students), built through the caches.
+    job_teacher_fns = []
+    job_student_fns = []
+    for job in jobs:
+        t = job["timesteps"]
+        job_teacher_fns.append(
+            model_fn_for(teacher_model, teacher_variables, t)
+        )
+        job_student_fns.append({
+            sf: model_fn_for(model, variables, t)
+            for sf, (model, variables) in job["students"].items()
+        })
+    if verbose:
+        print(f"[sweep] inputs+fns setup: {_time.perf_counter() - t_setup:.1f}s")
+
+    # AOT-compile every needed executable concurrently — ONE graph per
+    # (model, T) pair across ALL jobs (CFG vs no-CFG is the runtime
+    # cond_pairs input; see make_sweep_trajectory_fn).  Tracing/lowering
+    # happens via .lower() in the calling thread; the expensive XLA compile
+    # happens inside the pool.
+    producers = []
+    seen_fn_inputs = set()
+    seen_metric_shapes = set()
+    n_graphs = 0
+    for job, teacher_fn, student_fns in zip(
+        jobs, job_teacher_fns, job_student_fns
+    ):
+        noises, seeds, mesh = job_inputs(job)
+        for f in [teacher_fn] + list(student_fns.values()):
+            k = (id(f), job["num_samples"], job["base_seed"])
+            if k in seen_fn_inputs:
+                continue
+            seen_fn_inputs.add(k)
+            n_graphs += 1
+            producers.append(
+                lambda f=f, n=noises, s=seeds: f.lower(
+                    n, s, cfg_pairs, gs_example
+                )
+            )
+        if mesh is None:
+            # The trajectory avals are known statically — no need to
+            # eval_shape (a full extra trace of the teacher graph).  Skipped
+            # under a mesh: these avals carry no shardings, so the AOT
+            # compile would miss the dispatch cache exactly in the
+            # multi-device case.
+            mk = (job["num_samples"], job["base_seed"], job["timesteps"])
+            if mk not in seen_metric_shapes:
+                seen_metric_shapes.add(mk)
+                traj_aval = jax.ShapeDtypeStruct(
+                    (
+                        job["num_samples"], job["timesteps"] + 1,
+                        config.image_size, config.image_size,
+                        config.channels,
+                    ),
+                    _store_dtype(config) or jnp.float32,
+                )
+                keys = job_keys(job, mesh)
+                producers.append(
+                    lambda a=traj_aval, k=keys: _batch_metrics.lower(a, a, k)
+                )
+    n_sizes = sum(len(job["students"]) for job in jobs)
+    compile_concurrently(
+        producers,
+        workers=compile_workers,
+        label=(
+            f"sweep ({n_sizes} sizes + teacher across {len(jobs)} job(s), "
+            f"{n_graphs} model graphs + {len(seen_metric_shapes)} metric "
+            "graphs)"
+        ),
+        verbose=verbose,
+    )
+
+    # Dispatch every job's sweep asynchronously (JAX queues executions) and
+    # fetch every metric scalar in ONE device_get at the end: per-scalar
+    # np.asarray would pay a host↔device round-trip per metric per (size,
+    # scale) — ~1200 tunnel RTTs for the default sweep, which measured ~10x
+    # the actual compute time on the axon-tunneled chip.
+    arm_watchdog(600.0 * work_scale)  # execution + host fetch
+    t0 = _time.perf_counter()
+    # Teacher chains cached across jobs keyed on the full generation cell
+    # (T, scale, seed, samples) — the checkpoint is fixed per call (VERDICT
+    # r3 #3's cross-stage cache, realized at the process level).  Student
+    # chains stay transient: reuse across jobs is rare and holding every
+    # per-(sf, gs) chain would pin ~1 GB of HBM for the default workload.
+    teacher_chain_cache: Dict[tuple, jax.Array] = {}
+    pendings = []
+    for job, teacher_fn, student_fns in zip(
+        jobs, job_teacher_fns, job_student_fns
+    ):
+        noises, seeds, mesh = job_inputs(job)
+        keys = job_keys(job, mesh)
+        pending = {sf: {} for sf in job["students"]}
+        for gs in job["guidance_scales"]:
+            use_cfg = gs is not None and gs > 1.0
+            pairs = cfg_pairs if use_cfg else nocfg_pairs
+            gs_arr = jnp.float32(1.0 if gs is None else gs)
+            ck = (
+                job["timesteps"], use_cfg, float(gs_arr),
+                job["base_seed"], job["num_samples"],
+            )
+            t_trajs = teacher_chain_cache.get(ck)
+            if t_trajs is None:
+                t_trajs = teacher_fn(noises, seeds, pairs, gs_arr)
+                teacher_chain_cache[ck] = t_trajs
+            for sf, fn in student_fns.items():
+                s_trajs = fn(noises, seeds, pairs, gs_arr)
+                pending[sf][gs] = _batch_metrics(t_trajs, s_trajs, keys)
+        pendings.append(pending)
+    host_metrics_all = jax.device_get(pendings)
+    outputs = []
+    for job, host_metrics in zip(jobs, host_metrics_all):
+        num_samples = job["num_samples"]
+        results: Dict[float, Dict[float, Dict[str, float]]] = {}
+        for sf, per_gs in host_metrics.items():
+            results[sf] = {}
+            for gs, metrics in per_gs.items():
+                # Sweep output keeps only the per-sample SCALAR metrics
+                # (shape [num_samples], averaged) — vector metrics (per-step
+                # velocities, per-step Wasserstein) are intentionally
+                # dropped: the sweep consumers (heatmap/radar CLIs,
+                # transform_metrics) need exactly the scalar suite, pinned by
+                # tests/test_trajectories.py::test_sweep_output_contract.
+                # Use compute_trajectory_metrics for the full per-pair suite.
+                results[sf][gs] = {
+                    k: float(np.mean(v))
+                    for k, v in metrics.items()
+                    if np.ndim(v) == 1 and np.shape(v)[0] == num_samples
+                }
+        # The reference stores the same pair-metric dict under both keys
+        # (trajectory_engine.py:162-164).  We keep the VALUE equality but
+        # return independent dict objects per key so a downstream writer
+        # mutating one view cannot silently corrupt the other (round-2
+        # review finding).
+        outputs.append({
+            sf: {
+                "teacher_metrics": {gs: dict(m) for gs, m in per_gs.items()},
+                "student_metrics": {gs: dict(m) for gs, m in per_gs.items()},
+            }
+            for sf, per_gs in results.items()
+        })
+    if verbose:
+        n = sum(
+            len(job["guidance_scales"]) * len(job["students"])
+            * job["num_samples"]
+            for job in jobs
+        )
+        dt = _time.perf_counter() - t0
+        print(
+            f"[sweep] generated+scored {n} trajectory pairs in {dt:.1f}s "
+            f"({n / dt:.1f} pairs/s)"
+        )
+    return outputs
+
+
 def _sweep_compare_impl(
     teacher_model,
     teacher_variables,
@@ -273,156 +535,21 @@ def _sweep_compare_impl(
     compile_workers: int = None,
     verbose: bool = True,
 ) -> Dict[float, Dict[str, Dict[float, Dict[str, float]]]]:
-    """Teacher-vs-student metric sweep over many student sizes at once.
-
-    Same per-(size, scale) results as calling :func:`compare_trajectories`
-    per size (reference sweep loop, analyze_trajectory_metrics.py:433-466),
-    restructured for compile efficiency on TPU:
-
-    * teacher trajectories are generated ONCE per guidance scale and shared
-      across all sizes (they do not depend on the student);
-    * each size factor compiles a student-only scan (roughly half the graph
-      of the old paired teacher+student scan);
-    * the metric suite compiles once per process (module-level jit);
-    * all executables are AOT-compiled concurrently up front
-      (``jit.lower().compile()`` in ``compile_workers`` threads) — XLA
-      compilation releases the GIL and the axon backend compiles
-      server-side, so the sweep's compile wall-clock approaches the single
-      slowest graph instead of the sum.
-
-    Args:
-        students: ``{size_factor: (student_model, student_variables)}``.
-    Returns:
-        ``{size_factor: {"teacher_metrics": {gs: {...}},
-        "student_metrics": {gs: {...}}}}`` — per size, the same structure
-        :func:`compare_trajectories` returns.
-    """
-    import time as _time
-
-    from ..utils.compile_pool import arm_watchdog, compile_concurrently
-
-    # Tunnel-hang watchdog (utils/compile_pool.py): re-armed per phase so a
-    # dropped RPC in any of inputs/tracing, compile, or execution dumps
-    # stacks and exits instead of hanging forever — callers
-    # (run_full_sweep.py) treat the non-zero exit as transient and retry.
-    timesteps = config.timesteps
-    # Deadlines scale with workload size (a bigger sweep — more samples,
-    # scales, sizes, or steps — must not be hard-killed mid-legitimate-run);
-    # DTT_COMPILE_TIMEOUT still overrides every phase (arm_watchdog).
-    work_scale = max(
-        1.0,
-        (len(students) + 1)
-        * len(guidance_scales)
-        * num_samples
-        * timesteps
-        / (9.0 * 10 * 10 * 100),
-    )
-    arm_watchdog(300.0 * work_scale)  # inputs + tracing
-    t_setup = _time.perf_counter()
-    noises, seeds, mesh = _sweep_inputs(config, num_samples, base_seed)
-    gs_example = jnp.float32(1.0)
-    cfg_pairs = jnp.asarray(CFG_COND_PAIRS)
-    nocfg_pairs = jnp.asarray(NOCFG_COND_PAIRS)
-
-    teacher_fn = make_sweep_trajectory_fn(
-        teacher_model, teacher_variables, timesteps, config
-    )
-    student_fns = {
-        sf: make_sweep_trajectory_fn(model, variables, timesteps, config)
-        for sf, (model, variables) in students.items()
-    }
-    if verbose:
-        print(f"[sweep] inputs+fns setup: {_time.perf_counter() - t_setup:.1f}s")
-
-    # AOT-compile every needed executable concurrently — ONE graph per model
-    # (CFG vs no-CFG is the runtime cond_pairs input; see
-    # make_sweep_trajectory_fn).  Tracing/lowering happens via .lower() in
-    # the calling thread; the expensive XLA compile happens inside the pool.
-    keys = jax.random.split(jax.random.PRNGKey(base_seed), num_samples)
-    if mesh is not None:
-        keys = jax.device_put(keys, batch_sharding(mesh))
-
-    producers = [
-        lambda f=f: f.lower(noises, seeds, cfg_pairs, gs_example)
-        for f in [teacher_fn] + list(student_fns.values())
-    ]
-    if mesh is None:
-        # The trajectory avals are known statically — no need to eval_shape
-        # (a full extra trace of the teacher graph).  Skipped under a mesh:
-        # these avals carry no shardings, so the AOT compile would miss the
-        # dispatch cache exactly in the multi-device case.
-        traj_aval = jax.ShapeDtypeStruct(
-            (
-                num_samples, timesteps + 1, config.image_size,
-                config.image_size, config.channels,
-            ),
-            _store_dtype(config) or jnp.float32,
-        )
-        producers.append(
-            lambda: _batch_metrics.lower(traj_aval, traj_aval, keys)
-        )
-    compile_concurrently(
-        producers,
-        workers=compile_workers,
-        label=(
-            f"sweep ({len(students)} sizes + teacher"
-            f"{' + metrics' if mesh is None else ''}, 1 graph each)"
-        ),
+    """Single-job front half of :func:`_sweep_compare_multi_impl`."""
+    return _sweep_compare_multi_impl(
+        teacher_model,
+        teacher_variables,
+        [{
+            "students": students,
+            "guidance_scales": guidance_scales,
+            "num_samples": num_samples,
+            "base_seed": base_seed,
+            "timesteps": config.timesteps,
+        }],
+        config,
+        compile_workers=compile_workers,
         verbose=verbose,
-    )
-
-    # Dispatch the whole sweep asynchronously (JAX queues executions) and
-    # fetch every metric scalar in ONE device_get at the end: per-scalar
-    # np.asarray would pay a host↔device round-trip per metric per (size,
-    # scale) — ~1200 tunnel RTTs for the default sweep, which measured ~10x
-    # the actual compute time on the axon-tunneled chip.
-    arm_watchdog(600.0 * work_scale)  # execution + host fetch
-    t0 = _time.perf_counter()
-    pending = {sf: {} for sf in students}
-    for gs in guidance_scales:
-        use_cfg = gs is not None and gs > 1.0
-        pairs = cfg_pairs if use_cfg else nocfg_pairs
-        gs_arr = jnp.float32(1.0 if gs is None else gs)
-        t_trajs = teacher_fn(noises, seeds, pairs, gs_arr)
-        for sf, fn in student_fns.items():
-            s_trajs = fn(noises, seeds, pairs, gs_arr)
-            pending[sf][gs] = _batch_metrics(t_trajs, s_trajs, keys)
-    host_metrics = jax.device_get(pending)
-    results: Dict[float, Dict[float, Dict[str, float]]] = {}
-    for sf, per_gs in host_metrics.items():
-        results[sf] = {}
-        for gs, metrics in per_gs.items():
-            # Sweep output keeps only the per-sample SCALAR metrics (shape
-            # [num_samples], averaged) — vector metrics (per-step velocities,
-            # per-step Wasserstein) are intentionally dropped: the sweep
-            # consumers (heatmap/radar CLIs, transform_metrics) need exactly
-            # the scalar suite, pinned by
-            # tests/test_trajectories.py::test_sweep_output_contract.  Use
-            # compute_trajectory_metrics for the full per-pair suite.
-            results[sf][gs] = {
-                k: float(np.mean(v))
-                for k, v in metrics.items()
-                if np.ndim(v) == 1 and np.shape(v)[0] == num_samples
-            }
-    if verbose:
-        n = len(guidance_scales) * len(students) * num_samples
-        dt = _time.perf_counter() - t0
-        print(
-            f"[sweep] generated+scored {n} trajectory pairs in {dt:.1f}s "
-            f"({n / dt:.1f} pairs/s)"
-        )
-
-    # The reference stores the same pair-metric dict under both keys
-    # (trajectory_engine.py:162-164).  We keep the VALUE equality but return
-    # independent dict objects per key so a downstream writer mutating one
-    # view cannot silently corrupt the other (round-2 review finding).
-    return {
-        sf: {
-            "teacher_metrics": {gs: dict(m) for gs, m in per_gs.items()},
-            "student_metrics": {gs: dict(m) for gs, m in per_gs.items()},
-        }
-        for sf, per_gs in results.items()
-    }
+    )[0]
 
 
 def sweep_compare_trajectories(
@@ -451,6 +578,32 @@ def sweep_compare_trajectories(
             guidance_scales=guidance_scales,
             num_samples=num_samples,
             base_seed=base_seed,
+            compile_workers=compile_workers,
+            verbose=verbose,
+        )
+    finally:
+        cancel_watchdog()
+
+
+def sweep_compare_trajectories_multi(
+    teacher_model,
+    teacher_variables,
+    jobs: Sequence[dict],
+    config,
+    compile_workers: int = None,
+    verbose: bool = True,
+) -> List[Dict[float, Dict[str, Dict[float, Dict[str, float]]]]]:
+    """Public front door for :func:`_sweep_compare_multi_impl` (see its
+    docstring for the cross-job compile/chain sharing design).  Guarantees
+    the tunnel-flake watchdog timer is disarmed on every exit path."""
+    from ..utils.compile_pool import cancel_watchdog
+
+    try:
+        return _sweep_compare_multi_impl(
+            teacher_model,
+            teacher_variables,
+            jobs,
+            config,
             compile_workers=compile_workers,
             verbose=verbose,
         )

@@ -61,6 +61,17 @@ def parse_args():
     parser.add_argument("--base_dir", type=str, default=None,
                         help="Override the output root directory "
                         "(checkpoints are read from <base_dir>/output/models)")
+    parser.add_argument(
+        "--jobs", type=str, default=None,
+        help="JSON list of jobs to run in ONE process, e.g. "
+        '\'[{"output_dir": "analysis/heatmaps"}, {"size_factors": '
+        '"0.1,0.5,0.9", "timesteps": 50, "output_dir": "analysis/trio"}]\'. '
+        "Each job may override size_factors/guidance_scales/timesteps/"
+        "num_samples/output_dir; unset fields inherit the top-level flags. "
+        "Checkpoints are loaded once, every job's executables compile in "
+        "one concurrent pool, and teacher chains are shared across jobs "
+        "with matching (T, scale, samples) cells.",
+    )
     add_mesh_flag(parser)
     return parser.parse_args()
 
@@ -310,7 +321,7 @@ def main():
 
     from distillation_trajectories_tpu import Config
     from distillation_trajectories_tpu.trajectories import (
-        sweep_compare_trajectories,
+        sweep_compare_trajectories_multi,
     )
 
     config = Config(base_dir=args.base_dir) if args.base_dir else Config()
@@ -323,21 +334,43 @@ def main():
     if args.num_channels:
         config.channels = args.num_channels
 
-    output_dir = (
-        args.output_dir
-        if os.path.isabs(args.output_dir)
-        else os.path.join(project_root, args.output_dir)
-    )
-    os.makedirs(output_dir, exist_ok=True)
+    def _abs_dir(d):
+        return d if os.path.isabs(d) else os.path.join(project_root, d)
 
-    size_factors = parse_float_list(args.size_factors)
-    guidance_scales = parse_float_list(args.guidance_scales)
+    # --jobs: several sweep configurations share ONE process (one
+    # checkpoint load, one compile pool, cross-job teacher-chain cache —
+    # see sweep_compare_trajectories_multi).  Unset job fields inherit the
+    # top-level flags; the flagless invocation is exactly a one-job list.
+    if args.jobs:
+        import json as _json
+
+        job_specs = _json.loads(args.jobs)
+        if not isinstance(job_specs, list) or not job_specs:
+            raise SystemExit("--jobs must be a non-empty JSON list")
+    else:
+        job_specs = [{}]
+    for spec in job_specs:
+        spec.setdefault("size_factors", args.size_factors)
+        spec.setdefault("guidance_scales", args.guidance_scales)
+        spec.setdefault("timesteps", args.timesteps)
+        spec.setdefault("num_samples", args.num_samples)
+        spec.setdefault("output_dir", args.output_dir)
+        for key in ("size_factors", "guidance_scales"):
+            v = spec[key]
+            spec[key] = (
+                [float(x) for x in v] if isinstance(v, (list, tuple))
+                else parse_float_list(v)
+            )
+        spec["output_dir"] = _abs_dir(spec["output_dir"])
+        os.makedirs(spec["output_dir"], exist_ok=True)
 
     t0 = _phase("imports", t_start)
     teacher_model, teacher_vars = load_teacher_from_arg(config, args.teacher_model)
 
+    # Load the UNION of size factors once; jobs share the loaded objects so
+    # the engine's (model, variables, T) executable cache dedups across jobs.
     students = {}
-    for size_factor in size_factors:
+    for size_factor in sorted({sf for s in job_specs for sf in s["size_factors"]}):
         try:
             students[size_factor] = load_student(config, size_factor)
         except FileNotFoundError:
@@ -346,32 +379,47 @@ def main():
         print(f"\nProcessing student model with size factor {size_factor}")
         print(f"Computing CFG impact for size factor {size_factor}...")
 
-    # One sweep call for all sizes: teacher chains are generated once per
-    # guidance scale, per-size compiles are student-only and overlap in a
-    # compile thread pool (engine.sweep_compare_trajectories docstring).
     t0 = _phase("checkpoint loading", t0)
-    metrics_by_size = sweep_compare_trajectories(
-        teacher_model,
-        teacher_vars,
-        students,
-        config,
-        guidance_scales=guidance_scales,
-        num_samples=args.num_samples,
-    ) if students else {}
-    t0 = _phase("trajectory sweep (trace+compile+run)", t0)
-
-    if not metrics_by_size:
+    engine_jobs = [
+        {
+            "students": {
+                sf: students[sf] for sf in spec["size_factors"]
+                if sf in students
+            },
+            "guidance_scales": spec["guidance_scales"],
+            "num_samples": spec["num_samples"],
+            "timesteps": spec["timesteps"],
+        }
+        for spec in job_specs
+    ]
+    live = [j for j, ej in zip(job_specs, engine_jobs) if ej["students"]]
+    engine_jobs = [ej for ej in engine_jobs if ej["students"]]
+    if not engine_jobs:
         print("No student models found; nothing to analyze")
         return
+    results = sweep_compare_trajectories_multi(
+        teacher_model, teacher_vars, engine_jobs, config
+    )
+    t_sweep_end = _phase("trajectory sweep (trace+compile+run)", t0)
+    shared_s = t_sweep_end - t_start
 
-    print("\nVisualizing CFG heatmaps...")
-    visualize_cfg_heatmap(metrics_by_size, output_dir, guidance_scales)
-    print("\nCreating radar plots...")
-    create_radar_plot_grid(metrics_by_size, output_dir, guidance_scales)
-    create_composite_radar_plot(metrics_by_size, output_dir, guidance_scales)
-    t0 = _phase("plots", t0)
-    print("\nCFG analysis completed")
-    print(f"Results saved in {output_dir}")
+    for i, (spec, metrics_by_size) in enumerate(zip(live, results)):
+        t_job = _time.perf_counter()
+        output_dir = spec["output_dir"]
+        guidance_scales = spec["guidance_scales"]
+        print("\nVisualizing CFG heatmaps...")
+        visualize_cfg_heatmap(metrics_by_size, output_dir, guidance_scales)
+        print("\nCreating radar plots...")
+        create_radar_plot_grid(metrics_by_size, output_dir, guidance_scales)
+        create_composite_radar_plot(metrics_by_size, output_dir, guidance_scales)
+        print("\nCFG analysis completed")
+        print(f"Results saved in {output_dir}")
+        # Marginal per-job seconds (plots only; load/compile/generation are
+        # shared) — the workload runner parses these lines to split stage
+        # attribution when several stages ride one process.
+        print(f"[jobs] job {i} ({os.path.basename(output_dir)}): "
+              f"marginal {_time.perf_counter() - t_job:.1f}s")
+    print(f"[jobs] shared (imports+load+compile+generate): {shared_s:.1f}s")
     _phase("total", t_start)
 
 

@@ -100,6 +100,25 @@ def run_stage(name, cmd, log_dir, timeout=None, retries=1,
     return {"ok": ok, "seconds": round(dt, 1), "cmd": " ".join(cmd)}
 
 
+def _job_marginal(log_path, job: int) -> float:
+    """Marginal seconds of job ``job`` from the multi-job CLI's log.
+
+    The CLI prints ``[jobs] job N (...): marginal X.Xs`` per job; the LAST
+    occurrence wins (stage retries append attempts to one log).  Returns
+    0.0 when the line is absent (failed stage) — the combined wall-clock
+    then stays attributed to cfg_sweep, never lost.
+    """
+    marginal = 0.0
+    try:
+        with open(log_path) as f:
+            for line in f:
+                if line.startswith(f"[jobs] job {job} ") and "marginal" in line:
+                    marginal = float(line.rsplit("marginal", 1)[1].strip().rstrip("s"))
+    except (OSError, ValueError):
+        pass
+    return marginal
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--tag", type=str, default="r02")
@@ -172,27 +191,42 @@ def main():
             _write(args.tag, stages, t_start, ok=False)
             sys.exit(1)
 
-    stages["cfg_sweep"] = run_stage(
-        "cfg_sweep",
-        [py, "scripts/analysis/analyze_trajectory_metrics.py"],
-        log_dir,
-        timeout=1800,
-        retries=2,
-    )
-    # BASELINE config 2: student trio (0.1/0.5/0.9) vs teacher, paired
-    # per-timestep chains at the BASELINE's 50-step horizon.
-    stages["trio"] = run_stage(
-        "trio",
+    # BASELINE configs 2-4 ride ONE process: the flagship CFG sweep (job 0,
+    # T=100 defaults) and the student-trio comparison (job 1, 0.1/0.5/0.9 at
+    # T=50) share the checkpoint load, one concurrent compile pool over both
+    # jobs' executables, and the engine's cross-job teacher-chain cache —
+    # round 3 ran them as separate processes (126.6s + 49.7s) paying two
+    # loads and two pools.  The CLI prints per-job marginal seconds; stage
+    # attribution below keeps the SWEEP json's cfg_sweep/trio split.
+    combined = run_stage(
+        "cfg_trio",
         [
             py, "scripts/analysis/analyze_trajectory_metrics.py",
-            "--size_factors", "0.1,0.5,0.9",
-            "--timesteps", "50",
-            "--output_dir", "analysis/trio",
+            "--jobs",
+            json.dumps([
+                {"output_dir": "analysis/heatmaps"},
+                {"size_factors": "0.1,0.5,0.9", "timesteps": 50,
+                 "output_dir": "analysis/trio"},
+            ]),
         ],
         log_dir,
-        timeout=1200,
+        timeout=2400,
         retries=2,
     )
+    trio_marginal = _job_marginal(
+        os.path.join(log_dir, "sweep_cfg_trio.log"), job=1)
+    shared_note = " [shared process with trio; see sweep_cfg_trio.log]"
+    stages["cfg_sweep"] = {
+        "ok": combined["ok"],
+        "seconds": round(combined["seconds"] - trio_marginal, 1),
+        "cmd": combined["cmd"] + shared_note,
+    }
+    stages["trio"] = {
+        "ok": combined["ok"],
+        "seconds": round(trio_marginal, 1),
+        "cmd": combined["cmd"]
+        + " [marginal cost of the trio job in the shared process]",
+    }
     # BASELINE config 5: FID across every trained size factor.
     stages["fid"] = run_stage(
         "fid",

@@ -113,3 +113,55 @@ def test_cfg_sweep_plot_contract(tmp_path):
         path = os.path.join(out, name)
         assert os.path.exists(path), name
         assert os.path.getsize(path) > 1024, name
+
+
+@pytest.mark.slow
+def test_cfg_sweep_cli_jobs_mode(tmp_path, monkeypatch, capsys):
+    """--jobs: two sweep configurations (different T/output dirs) in one
+    process produce both artifact sets + per-job marginal timing lines."""
+    import jax
+
+    from distillation_trajectories_tpu import Config
+    from distillation_trajectories_tpu.models import make_unet, init_unet
+    from distillation_trajectories_tpu.training import save_checkpoint
+
+    cfg = Config(
+        dataset="MNIST", image_size=16, channels=1, batch_size=8,
+        sample_steps=8, timesteps=8, compute_dtype="float32",
+        base_dir=str(tmp_path),
+    )
+    cfg.create_directories()
+    teacher = make_unet(cfg, size_factor=1.0)
+    tvars = init_unet(teacher, cfg, jax.random.PRNGKey(0))
+    save_checkpoint(cfg.teacher_models_dir, 1, tvars["params"],
+                    batch_stats=tvars["batch_stats"])
+    student = make_unet(cfg, size_factor=0.25)
+    svars = init_unet(student, cfg, jax.random.PRNGKey(1))
+    save_checkpoint(cfg.student_dir(0.25), 1, svars["params"],
+                    batch_stats=svars["batch_stats"])
+
+    import json
+
+    jobs = [
+        {"output_dir": str(tmp_path / "heatmaps")},
+        {"timesteps": 6, "output_dir": str(tmp_path / "trio")},
+    ]
+    monkeypatch.setattr(sys, "argv", [
+        "analyze_trajectory_metrics.py",
+        "--size_factors", "0.25",
+        "--guidance_scales", "1.0,3.0",
+        "--timesteps", "8",
+        "--num_samples", "2",
+        "--dataset", "MNIST",
+        "--image_size", "16",
+        "--num_channels", "1",
+        "--base_dir", str(tmp_path),
+        "--jobs", json.dumps(jobs),
+    ])
+    _load_cli().main()
+    for d in ("heatmaps", "trio"):
+        for name in ("cfg_heatmap_combined.png", "radar_plots_gs_1.0.png"):
+            assert os.path.exists(str(tmp_path / d / name)), (d, name)
+    out = capsys.readouterr().out
+    assert "[jobs] job 0 (heatmaps): marginal" in out
+    assert "[jobs] job 1 (trio): marginal" in out

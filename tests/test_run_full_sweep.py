@@ -115,3 +115,25 @@ def test_retry_appends_extra_args_and_aborts_when_down(tmp_path, monkeypatch):
     )
     assert out["ok"] is False
     assert len(calls) == 1  # retry aborted, not launched into a dead tunnel
+
+
+def test_job_marginal_parses_last_occurrence(tmp_path):
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "repo-scripts-placeholder"))
+    import importlib
+
+    rfs = importlib.import_module("run_full_sweep")
+    log = tmp_path / "sweep_cfg_trio.log"
+    log.write_text(
+        "===== attempt 1 =====\n"
+        "[jobs] job 1 (trio): marginal 99.9s\n"
+        "===== attempt 2 =====\n"
+        "[jobs] job 0 (heatmaps): marginal 30.2s\n"
+        "[jobs] job 1 (trio): marginal 12.3s\n"
+    )
+    assert rfs._job_marginal(str(log), job=1) == 12.3
+    assert rfs._job_marginal(str(log), job=0) == 30.2
+    # absent job / missing file -> 0.0 (combined wall stays on cfg_sweep)
+    assert rfs._job_marginal(str(log), job=7) == 0.0
+    assert rfs._job_marginal(str(tmp_path / "nope.log"), job=1) == 0.0

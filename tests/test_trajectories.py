@@ -261,3 +261,88 @@ def test_trajectory_seed_parity_between_models(test_config):
     )
     t_traj, s_traj = manager.generate_trajectory(seed=5)
     np.testing.assert_array_equal(t_traj, s_traj)
+
+
+def test_sweep_multi_matches_single_jobs(test_config, monkeypatch):
+    """sweep_compare_trajectories_multi: per-job results identical to the
+    single-job path, teacher chains generated once per shared (T, gs) cell
+    across jobs, and executables deduped across jobs by (model, vars, T)."""
+    from distillation_trajectories_tpu.trajectories import (
+        sweep_compare_trajectories,
+        sweep_compare_trajectories_multi,
+    )
+    from distillation_trajectories_tpu.trajectories import engine
+
+    teacher, t_vars, student, s_vars = _models(test_config)
+    gs_list = [1.0, 3.0]
+
+    calls = {"made": 0, "executed": 0}
+    real_make = engine.make_sweep_trajectory_fn
+
+    class _Counting:
+        def __init__(self, fn):
+            self._fn = fn
+
+        def __call__(self, *a, **kw):
+            calls["executed"] += 1
+            return self._fn(*a, **kw)
+
+        def lower(self, *a, **kw):
+            return self._fn.lower(*a, **kw)
+
+    def counting_make(model, variables, timesteps, config=None):
+        calls["made"] += 1
+        return _Counting(real_make(model, variables, timesteps, config))
+
+    monkeypatch.setattr(engine, "make_sweep_trajectory_fn", counting_make)
+
+    # Job 0 and job 1 share T (teacher chains + executables reused); job 2
+    # runs at a different T (fresh executables, fresh chains).
+    t_short = test_config.timesteps - 2
+    jobs = [
+        {"students": {0.1: (student, s_vars)},
+         "guidance_scales": gs_list, "num_samples": 2},
+        {"students": {0.2: (teacher, t_vars)},
+         "guidance_scales": gs_list, "num_samples": 2},
+        {"students": {0.1: (student, s_vars)},
+         "guidance_scales": gs_list, "num_samples": 2,
+         "timesteps": t_short},
+    ]
+    multi = sweep_compare_trajectories_multi(
+        teacher, t_vars, jobs, test_config, verbose=False
+    )
+    # fns made: teacher@T, student@T, teacher-as-student@T (same (model,
+    # vars, T) as teacher@T -> cached), teacher@t_short, student@t_short.
+    assert calls["made"] == 4
+    # executions: per gs — 1 teacher chain shared by jobs 0+1, 2 student
+    # chains (job0 sf=0.1, job1 sf=0.2), then job2: 1 teacher + 1 student
+    # at t_short.  Total per gs = 5; x2 scales = 10.  Without the cross-job
+    # teacher cache this would be 12.
+    assert calls["executed"] == 10
+
+    monkeypatch.setattr(engine, "make_sweep_trajectory_fn", real_make)
+    for job, got in zip(jobs, multi):
+        cfg = test_config
+        if job.get("timesteps"):
+            import dataclasses
+
+            cfg = dataclasses.replace(test_config, timesteps=job["timesteps"]) \
+                if dataclasses.is_dataclass(test_config) else test_config
+            if cfg is test_config:
+                import copy
+
+                cfg = copy.copy(test_config)
+                cfg.timesteps = job["timesteps"]
+        single = sweep_compare_trajectories(
+            teacher, t_vars, job["students"], cfg,
+            guidance_scales=job["guidance_scales"],
+            num_samples=job["num_samples"], verbose=False,
+        )
+        for sf in job["students"]:
+            for gs in job["guidance_scales"]:
+                for k, v in single[sf]["student_metrics"][gs].items():
+                    np.testing.assert_allclose(
+                        got[sf]["student_metrics"][gs][k], v,
+                        rtol=1e-5, atol=1e-6,
+                        err_msg=f"sf={sf} gs={gs} {k}",
+                    )
