@@ -51,6 +51,8 @@ def main():
     )
 
     if fid_by_size:
+        import json
+
         import matplotlib
 
         matplotlib.use("Agg")
@@ -69,6 +71,22 @@ def main():
         with open(os.path.join(config.fid_dir, "fid_summary.txt"), "w") as f:
             for s in sizes:
                 f.write(f"size_{s}: {fid_by_size[s]:.4f}\n")
+        # Machine-readable artifact with the feature PROVENANCE stamped in:
+        # without pretrained torchvision weights the scores rank models under
+        # deterministic random features (self-consistent, NOT comparable to
+        # ImageNet-FID — reference fid_score.py:19-34).  Stamped here so any
+        # cross-repo comparison reads it from the artifact, not stdout.
+        with open(os.path.join(config.fid_dir, "fid_summary.json"), "w") as f:
+            json.dump({
+                "features": (
+                    "pretrained-torchvision" if inception.pretrained
+                    else "seeded-random"
+                ),
+                "imagenet_fid_comparable": bool(inception.pretrained),
+                "num_samples": args.num_samples,
+                "fid_by_size": {str(s): fid_by_size[s] for s in sizes},
+            }, f, indent=2)
+            f.write("\n")
 
 
 if __name__ == "__main__":

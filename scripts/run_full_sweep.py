@@ -100,6 +100,29 @@ def run_stage(name, cmd, log_dir, timeout=None, retries=1,
     return {"ok": ok, "seconds": round(dt, 1), "cmd": " ".join(cmd)}
 
 
+def _probe_weight_lanes() -> dict:
+    """First existing pretrained-weights file per lane (None when absent).
+
+    Mirrors the search orders in models/inception.py (_WEIGHTS_SEARCH_PATHS)
+    and metrics/lpips.py (_weights_search_paths) without importing jax.
+    """
+    lanes = {
+        "inception": [
+            os.environ.get("INCEPTION_WEIGHTS", ""),
+            os.path.join(project_root, "weights", "inception_v3.npz"),
+            os.path.join(project_root, "weights", "inception_v3.pth"),
+        ],
+        "lpips": [
+            os.environ.get("LPIPS_WEIGHTS", ""),
+            os.path.join(project_root, "weights", "lpips_alex.npz"),
+        ],
+    }
+    return {
+        lane: next((p for p in paths if p and os.path.exists(p)), None)
+        for lane, paths in lanes.items()
+    }
+
+
 def _job_marginal(log_path, job: int) -> float:
     """Marginal seconds of job ``job`` from the multi-job CLI's log.
 
@@ -137,13 +160,23 @@ def main():
     # (observed: 2-5 s distill epochs become 170-250 s).  Wait up to 30 min
     # for recovery, then abort with the probe recorded so the failure is
     # diagnosable from the SWEEP json alone.
+    # Real-weights lane probe (VERDICT r3 #8): re-check every round whether
+    # pretrained Inception/LPIPS weight files have appeared so real FID /
+    # LPIPS activates the moment they do; until then the FID artifact is
+    # stamped "seeded-random" (analyze_fid.py fid_summary.json).
+    weights_lanes = _probe_weight_lanes()
+    for lane, found in weights_lanes.items():
+        print(f"[sweep] weights lane {lane}: "
+              f"{found if found else 'NOT FOUND (fallback features)'}")
+
     probe = probe_device()
     if probe["status"] != "ok":
         print(f"[sweep] device {probe['status']}: {probe['detail']}; waiting")
         probe = wait_for_device(max_wait=1800.0, interval=120.0)
     print(f"[sweep] preflight probe: {probe['status']} ({probe['detail']})")
     if probe["status"] != "ok":
-        _write(args.tag, {}, time.time(), ok=False, probe=probe)
+        _write(args.tag, {}, time.time(), ok=False, probe=probe,
+               weights=weights_lanes)
         sys.exit(1)
 
     stages = {}
@@ -169,7 +202,7 @@ def main():
             retries=1,
         )
         if not stages["teacher"]["ok"]:
-            _write(args.tag, stages, t_start, ok=False)
+            _write(args.tag, stages, t_start, ok=False, weights=weights_lanes)
             sys.exit(1)
         stages["students"] = run_stage(
             "students",
@@ -188,7 +221,7 @@ def main():
             retry_extra_args=["--skip_existing"],
         )
         if not stages["students"]["ok"]:
-            _write(args.tag, stages, t_start, ok=False)
+            _write(args.tag, stages, t_start, ok=False, weights=weights_lanes)
             sys.exit(1)
 
     # BASELINE configs 2-4 ride ONE process: the flagship CFG sweep (job 0,
@@ -239,11 +272,12 @@ def main():
         retries=2,
     )
     ok = all(stages[k]["ok"] for k in ("cfg_sweep", "trio", "fid"))
-    _write(args.tag, stages, t_start, ok=ok, probe=probe)
+    _write(args.tag, stages, t_start, ok=ok, probe=probe,
+           weights=weights_lanes)
     sys.exit(0 if ok else 1)
 
 
-def _write(tag, stages, t_start, ok, probe=None):
+def _write(tag, stages, t_start, ok, probe=None, weights=None):
     # Sum of stage wall-clocks (== end-to-end wall for a full run; for a
     # --skip-training rerun it still reflects the whole workload because
     # training stages are carried forward from the previous SWEEP json).
@@ -268,6 +302,7 @@ def _write(tag, stages, t_start, ok, probe=None):
         "ok": ok,
         "total_seconds": round(total, 1),
         "preflight_probe": probe,
+        "pretrained_weight_lanes": weights,
         "stages": stages,
         "workload": {
             "teacher_epochs": "see stages",
