@@ -120,6 +120,13 @@ class Config:
     # driver's multichip dryrun use this to exercise the real trainer code
     # path in seconds.
     limit_batches_per_epoch: Optional[int] = None
+    # Train one epoch as a single jitted lax.scan against a device-resident
+    # dataset (one dispatch + zero per-batch uploads per epoch) instead of a
+    # per-batch python loop.  Bitwise-identical math and key sequence
+    # (tests/test_training.py epoch-scan parity); single-device only — mesh
+    # runs keep the per-batch loop (per-batch shard_batch placement).
+    # DTT_EPOCH_SCAN=0 overrides at runtime.
+    epoch_scan: bool = True
     # Storage dtype for stacked trajectories ("float32" or "bfloat16").
     # bf16 halves trajectory HBM traffic; sampling math itself stays in
     # float32 (only the stored per-step states are cast).  Metric scalars

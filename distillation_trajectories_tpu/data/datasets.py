@@ -203,6 +203,30 @@ class DataLoader:
     def __len__(self) -> int:
         return len(self.images) // self.batch_size
 
+    def epoch_indices(self, n_batches: Optional[int] = None) -> np.ndarray:
+        """Advance one epoch and return its batch indices [n_batches, B].
+
+        The SAME shuffle stream the iterator uses (shuffle_indices keyed on
+        seed/epoch), so a device-side gather of these indices reproduces the
+        iterator's batches exactly — the epoch-scan training path
+        (training/state.py::make_*_epoch_fn) consumes this with the full
+        dataset resident on device instead of per-batch host uploads.
+        """
+        from .native import shuffle_indices
+
+        self._epoch += 1
+        n = len(self.images)
+        if self.shuffle:
+            idx = shuffle_indices(n, self.seed * 1_000_003 + self._epoch)
+        else:
+            idx = np.arange(n, dtype=np.int64)
+        nb = len(self) if n_batches is None else min(n_batches, len(self))
+        return (
+            idx[: nb * self.batch_size]
+            .reshape(nb, self.batch_size)
+            .astype(np.int32)
+        )
+
     def _epoch_batches(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
         from .native import gather_f32, shuffle_indices
 

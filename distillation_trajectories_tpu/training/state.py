@@ -78,19 +78,16 @@ def _train_apply(model, params, batch_stats, x, t, cond, cond_mask, dropout_key)
     return out, mutated["batch_stats"]
 
 
-def make_teacher_train_step(
+def _teacher_step_core(
     model,
     tx: optax.GradientTransformation,
     diffusion_params,
     timesteps: int,
     ema_rate: Optional[float] = None,
 ):
-    """Jitted teacher step: dual cond/uncond ε-MSE (reference
-    train_teacher.py:68-78).  Both losses share the same ``t`` but use
-    independent noise draws, matching the reference's two separate
-    ``p_losses`` calls."""
+    """Unjitted teacher step body shared by the per-batch jitted step and
+    the epoch-level scan (:func:`make_teacher_epoch_fn`)."""
 
-    @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, images: jnp.ndarray, key: jax.Array):
         b = images.shape[0]
         kt, kn1, kn2, kd1, kd2 = jax.random.split(key, 5)
@@ -134,6 +131,80 @@ def make_teacher_train_step(
     return train_step
 
 
+def make_teacher_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    diffusion_params,
+    timesteps: int,
+    ema_rate: Optional[float] = None,
+):
+    """Jitted teacher step: dual cond/uncond ε-MSE (reference
+    train_teacher.py:68-78).  Both losses share the same ``t`` but use
+    independent noise draws, matching the reference's two separate
+    ``p_losses`` calls."""
+    core = _teacher_step_core(model, tx, diffusion_params, timesteps, ema_rate)
+    return partial(jax.jit, donate_argnums=(0,))(core)
+
+
+def epoch_scan_enabled(config, mesh) -> bool:
+    """Epoch-level lax.scan path: single-device only (mesh runs need
+    per-batch shard_batch placement); DTT_EPOCH_SCAN=0 force-disables."""
+    import os
+
+    return (
+        bool(getattr(config, "epoch_scan", True))
+        and mesh is None
+        and os.environ.get("DTT_EPOCH_SCAN", "1") != "0"
+    )
+
+
+def _scan_epoch(step_core, state, dataset, idx, key):
+    """lax.scan over one epoch's batch indices with a device-resident
+    dataset: key-split sequence and per-batch math are IDENTICAL to the
+    per-batch python loop (``key, sk = split(key)`` then step), so the
+    scan path is bitwise-interchangeable with it."""
+
+    def body(carry, batch_idx):
+        state, key = carry
+        key, step_key = jax.random.split(key)
+        images = jnp.take(dataset, batch_idx, axis=0)
+        state, loss = step_core(state, images, step_key)
+        return (state, key), loss
+
+    (state, key), losses = jax.lax.scan(body, (state, key), idx)
+    return state, key, losses
+
+
+def make_teacher_epoch_fn(
+    model,
+    tx: optax.GradientTransformation,
+    diffusion_params,
+    timesteps: int,
+    ema_rate: Optional[float] = None,
+):
+    """Epoch-level teacher training: ONE jitted lax.scan over a whole
+    epoch's batches against a device-resident dataset.
+
+    TPU-native rationale: the per-batch loop pays a tunnel RTT per dispatch
+    plus a host→device upload of every batch (~1.5 MB × ~78 batches ×
+    every epoch); here the dataset uploads ONCE per process and an epoch is
+    one dispatch.  ``dataset`` and the shuffled ``idx`` ([n_batches, B]
+    int32, from DataLoader.epoch_indices) ride as jit ARGUMENTS — never
+    closure constants (see make_distill_train_step's rationale).
+
+    Returns ``epoch_fn(state, dataset, idx, key) -> (state, key', losses)``
+    where ``key'`` continues the exact split sequence the per-batch loop
+    would have produced.
+    """
+    core = _teacher_step_core(model, tx, diffusion_params, timesteps, ema_rate)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def epoch_fn(state, dataset, idx, key):
+        return _scan_epoch(core, state, dataset, idx, key)
+
+    return epoch_fn
+
+
 def make_distill_train_step(
     teacher_model,
     teacher_variables,
@@ -151,14 +222,42 @@ def make_distill_train_step(
     cond/uncond in train mode, and minimize the average of the two MSEs
     between student and teacher predictions.
     """
-    ratio = student_steps / teacher_steps
-
+    core = _distill_step_core(
+        teacher_model, student_model, tx, teacher_diffusion_params,
+        teacher_steps, student_steps,
+    )
     # teacher_variables is an ARGUMENT of the jitted step, not a closure:
     # closed-over param trees are embedded in the lowered IR, and the axon
     # backend hashes the whole module per compile for its server-side cache
     # (minutes for ~40 MB of inline constants, and a new cache key for
     # every retrained teacher).  See engine._VariablesAsArgFn.
-    @partial(jax.jit, donate_argnums=(1,))
+    _train_step = partial(jax.jit, donate_argnums=(1,))(core)
+
+    class _DistillStep:
+        """step(state, images, key) with teacher vars pre-bound; ``lower``
+        exposed for AOT compile pools (utils/compile_pool.py)."""
+
+        def __call__(self, state, images, key):
+            return _train_step(teacher_variables, state, images, key)
+
+        def lower(self, state, images, key):
+            return _train_step.lower(teacher_variables, state, images, key)
+
+    return _DistillStep()
+
+
+def _distill_step_core(
+    teacher_model,
+    student_model,
+    tx: optax.GradientTransformation,
+    teacher_diffusion_params,
+    teacher_steps: int,
+    student_steps: int,
+):
+    """Unjitted distillation step body shared by the per-batch jitted step
+    and the epoch-level scan (:func:`make_distill_epoch_fn`)."""
+    ratio = student_steps / teacher_steps
+
     def _train_step(t_vars, state: TrainState, images: jnp.ndarray, key: jax.Array):
         teacher_fn = make_eval_model_fn(teacher_model, t_vars)
         b = images.shape[0]
@@ -199,14 +298,42 @@ def make_distill_train_step(
         )
         return new_state, loss
 
-    class _DistillStep:
-        """step(state, images, key) with teacher vars pre-bound; ``lower``
-        exposed for AOT compile pools (utils/compile_pool.py)."""
+    return _train_step
 
-        def __call__(self, state, images, key):
-            return _train_step(teacher_variables, state, images, key)
 
-        def lower(self, state, images, key):
-            return _train_step.lower(teacher_variables, state, images, key)
+def make_distill_epoch_fn(
+    teacher_model,
+    teacher_variables,
+    student_model,
+    tx: optax.GradientTransformation,
+    teacher_diffusion_params,
+    teacher_steps: int,
+    student_steps: int,
+):
+    """Epoch-level distillation: ONE jitted lax.scan per epoch against a
+    device-resident dataset (see make_teacher_epoch_fn's rationale — this
+    is the dominant workload stage's per-batch-RTT/upload fix).
 
-    return _DistillStep()
+    Returns ``epoch(state, dataset, idx, key) -> (state, key', losses)``
+    with teacher variables pre-bound as a jit ARGUMENT and ``lower``
+    exposed for AOT compile pools.
+    """
+    core = _distill_step_core(
+        teacher_model, student_model, tx, teacher_diffusion_params,
+        teacher_steps, student_steps,
+    )
+
+    @partial(jax.jit, donate_argnums=(1,))
+    def _epoch(t_vars, state, dataset, idx, key):
+        return _scan_epoch(
+            lambda s, im, k: core(t_vars, s, im, k), state, dataset, idx, key
+        )
+
+    class _DistillEpoch:
+        def __call__(self, state, dataset, idx, key):
+            return _epoch(teacher_variables, state, dataset, idx, key)
+
+        def lower(self, state, dataset, idx, key):
+            return _epoch.lower(teacher_variables, state, dataset, idx, key)
+
+    return _DistillEpoch()

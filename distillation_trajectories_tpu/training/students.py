@@ -39,6 +39,8 @@ from .checkpoints import (
 )
 from .state import (
     create_train_state,
+    epoch_scan_enabled as _epoch_scan_enabled,
+    make_distill_epoch_fn,
     make_distill_train_step,
     make_optimizer,
 )
@@ -114,19 +116,36 @@ def _build_student(teacher_model, teacher_variables, config, size_factor,
             "variables": variables,
             "state": state,
             "train_step": _shared["train_step"],
+            "epoch_fn": _shared["epoch_fn"],
             "grid_fn": _shared["grid_fn"],
             "mesh": mesh,
         }
 
-    train_step = make_distill_train_step(
-        teacher_model,
-        teacher_variables,
-        student_model,
-        tx,
-        teacher_params_d,
-        config.teacher_steps,
-        config.student_steps,
-    )
+    # Epoch-scan mode replaces the per-batch step with one scan-compiled
+    # epoch executable (state.make_distill_epoch_fn); the per-batch step is
+    # only built where it is actually dispatched (mesh runs).
+    if _epoch_scan_enabled(config, mesh):
+        train_step = None
+        epoch_fn = make_distill_epoch_fn(
+            teacher_model,
+            teacher_variables,
+            student_model,
+            tx,
+            teacher_params_d,
+            config.teacher_steps,
+            config.student_steps,
+        )
+    else:
+        epoch_fn = None
+        train_step = make_distill_train_step(
+            teacher_model,
+            teacher_variables,
+            student_model,
+            tx,
+            teacher_params_d,
+            config.teacher_steps,
+            config.student_steps,
+        )
 
     # End-of-training sample-grid loop as a jitted function of the FINAL
     # params (same avals as the initial state), so the sweep can AOT-compile
@@ -165,6 +184,7 @@ def _build_student(teacher_model, teacher_variables, config, size_factor,
         "variables": variables,
         "state": state,
         "train_step": train_step,
+        "epoch_fn": epoch_fn,
         "grid_fn": grid_fn,
         "mesh": mesh,
     }
@@ -208,12 +228,25 @@ def distill_diffusion_model(
         f"({student_mb / teacher_mb:.2%} of teacher)"
     )
 
-    loader = get_data_loader(config, seed=seed)
+    loader = built.get("loader") or get_data_loader(config, seed=seed)
     metrics_log = MetricsLogger(
         os.path.join(config.results_dir, f"distill_metrics_size_{size_factor}.jsonl")
     )
 
     from ..utils.compile_pool import arm_watchdog, cancel_watchdog
+
+    epoch_fn = built.get("epoch_fn")
+    use_scan = epoch_fn is not None and _epoch_scan_enabled(config, mesh)
+    dataset_dev = None
+    if use_scan:
+        # Device-resident dataset, uploaded ONCE (and shared across the
+        # whole sweep via _prebuilt): the per-batch loop re-uploads every
+        # ~1.5 MB batch each epoch over the tunnel.
+        dataset_dev = built.get("dataset_dev")
+        if dataset_dev is None:
+            with phase_timer("students/dataset_upload"):
+                dataset_dev = jax.device_put(loader.images)
+                dataset_dev.block_until_ready()
 
     try:
         for epoch in range(config.epochs):
@@ -226,39 +259,53 @@ def distill_diffusion_model(
             # compile envelope with 2x variance; later epochs are execution
             # only (worst measured ~70s).
             arm_watchdog(1800.0 if epoch == 0 else 600.0)
-            # Device-side loss accumulation: a float(loss) per step costs one
-            # tunnel RTT per batch and blocks async dispatch pipelining.
-            losses = []
-            progress = _progress(
-                loader, f"Distillation Epoch {epoch + 1}/{config.epochs}", config
-            )
             with phase_timer(f"distill_epoch_sf{size_factor}"):
-                for batch_idx, (images, _) in enumerate(progress):
-                    if (
-                        config.limit_batches_per_epoch is not None
-                        and batch_idx >= config.limit_batches_per_epoch
-                    ):
-                        break
-                    key, step_key = jax.random.split(key)
-                    if mesh is not None:
-                        images = shard_batch(images, mesh)
-                        step_key = jax.device_put(step_key, replicated(mesh))
-                    else:
-                        images = jnp.asarray(images)
-                    state, loss = train_step(state, images, step_key)
-                    losses.append(loss)
-                    if log_every and (batch_idx + 1) % log_every == 0:
-                        running = float(np.mean(jax.device_get(losses)))
-                        if hasattr(progress, "set_postfix"):
-                            progress.set_postfix(loss=running)
+                if use_scan:
+                    # One dispatch for the whole epoch; losses stay on
+                    # device until the single fetch below.
+                    idx = loader.epoch_indices(config.limit_batches_per_epoch)
+                    state, key, losses_dev = epoch_fn(
+                        state, dataset_dev, idx, key
+                    )
+                    avg_loss = float(np.mean(jax.device_get(losses_dev)))
+                else:
+                    # Device-side loss accumulation: a float(loss) per step
+                    # costs one tunnel RTT per batch and blocks async
+                    # dispatch pipelining.
+                    losses = []
+                    progress = _progress(
+                        loader,
+                        f"Distillation Epoch {epoch + 1}/{config.epochs}",
+                        config,
+                    )
+                    for batch_idx, (images, _) in enumerate(progress):
+                        if (
+                            config.limit_batches_per_epoch is not None
+                            and batch_idx >= config.limit_batches_per_epoch
+                        ):
+                            break
+                        key, step_key = jax.random.split(key)
+                        if mesh is not None:
+                            images = shard_batch(images, mesh)
+                            step_key = jax.device_put(step_key, replicated(mesh))
                         else:
-                            print(
-                                f"[distill sf={size_factor}] epoch {epoch + 1} "
-                                f"batch {batch_idx + 1}/{len(loader)} "
-                                f"loss {running:.6f}"
-                            )
-            n_batches = len(losses)
-            avg_loss = float(np.mean(jax.device_get(losses))) if losses else 0.0
+                            images = jnp.asarray(images)
+                        state, loss = train_step(state, images, step_key)
+                        losses.append(loss)
+                        if log_every and (batch_idx + 1) % log_every == 0:
+                            running = float(np.mean(jax.device_get(losses)))
+                            if hasattr(progress, "set_postfix"):
+                                progress.set_postfix(loss=running)
+                            else:
+                                print(
+                                    f"[distill sf={size_factor}] epoch "
+                                    f"{epoch + 1} batch {batch_idx + 1}/"
+                                    f"{len(loader)} loss {running:.6f}"
+                                )
+                    avg_loss = (
+                        float(np.mean(jax.device_get(losses))) if losses
+                        else 0.0
+                    )
             print(
                 f"[distill sf={size_factor}] epoch {epoch + 1}/{config.epochs} "
                 f"avg loss {avg_loss:.6f} "
@@ -427,7 +474,45 @@ def train_students(
             config.batch_size, config.image_size, config.image_size,
             config.channels,
         )
-        if mesh is not None:
+        use_scan = _epoch_scan_enabled(config, mesh)
+        if use_scan:
+            # One loader + ONE device-resident dataset for the whole sweep
+            # (each distill call was re-loading + re-uploading the same
+            # data; the epoch scan gathers batches on device instead).
+            with phase_timer("students/dataset_upload"):
+                shared_loader = get_data_loader(config, seed=seed)
+                dataset_dev = jax.device_put(shared_loader.images)
+                dataset_dev.block_until_ready()
+            n_batches = len(shared_loader)
+            if config.limit_batches_per_epoch is not None:
+                n_batches = min(n_batches, config.limit_batches_per_epoch)
+            idx_aval = jax.ShapeDtypeStruct(
+                (n_batches, config.batch_size), jnp.int32
+            )
+            from ..data.datasets import DataLoader
+
+            for b in prebuilt.values():
+                # Fresh per-student loader VIEW over the shared arrays: the
+                # per-batch path constructs a new loader per student, so
+                # each student's shuffle stream restarts at epoch 1 —
+                # sharing one loader would silently change batch
+                # composition vs that path.
+                b["loader"] = DataLoader(
+                    shared_loader.images, shared_loader.labels,
+                    config.batch_size, shuffle=True, seed=seed,
+                )
+                b["dataset_dev"] = dataset_dev
+            key_example = jax.random.PRNGKey(0)
+            unique = list(
+                {id(b["epoch_fn"]): b for b in prebuilt.values()}.values()
+            )
+            producers = [
+                lambda b=b: b["epoch_fn"].lower(
+                    b["state"], dataset_dev, idx_aval, key_example
+                )
+                for b in unique
+            ]
+        elif mesh is not None:
             from ..parallel.mesh import batch_sharding
 
             images_aval = jax.ShapeDtypeStruct(
@@ -442,13 +527,16 @@ def train_students(
         # Producers: tracing happens in the calling thread while earlier
         # graphs compile in the pool (utils/compile_pool.py).  Shared-arch
         # duplicates reuse the same jit objects — lower each only once.
-        unique = list({id(b["train_step"]): b for b in prebuilt.values()}.values())
-        producers = [
-            lambda b=b: b["train_step"].lower(
-                b["state"], images_aval, key_example
+        if not use_scan:
+            unique = list(
+                {id(b["train_step"]): b for b in prebuilt.values()}.values()
             )
-            for b in unique
-        ]
+            producers = [
+                lambda b=b: b["train_step"].lower(
+                    b["state"], images_aval, key_example
+                )
+                for b in unique
+            ]
         # Grid keys are plain (uncommitted) at execution time in both the
         # mesh and single-device paths — lower with a plain key to match.
         grid_key = jax.random.PRNGKey(0)
@@ -462,7 +550,8 @@ def train_students(
         compile_concurrently(
             producers,
             label=(
-                f"distill steps + grids x{len(unique)} "
+                f"distill {'epochs' if use_scan else 'steps'} + grids "
+                f"x{len(unique)} "
                 f"({len(size_factors)} sizes, shared-arch dedup)"
             ),
             # Train-step graphs compile in minutes (vs ~30s trajectory

@@ -96,17 +96,29 @@ def test_shared_arch_build_dedup(test_config):
     b1 = _build_student(teacher, teacher_vars, test_config, 0.01, seed=0)
     b2 = _build_student(teacher, teacher_vars, test_config, 0.05, seed=0,
                         _shared=b1)
+    # Epoch-scan mode builds epoch_fn instead of the per-batch step; the
+    # dedup contract covers whichever executable family is active.
     assert b2["train_step"] is b1["train_step"]
+    assert b2["epoch_fn"] is b1["epoch_fn"]
     assert b2["grid_fn"] is b1["grid_fn"]
     # Independent inits: different PRNG stream per size factor.
     p1 = jax.tree_util.tree_leaves(b1["variables"]["params"])[0]
     p2 = jax.tree_util.tree_leaves(b2["variables"]["params"])[0]
     assert p1.shape == p2.shape and not np.allclose(p1, p2)
 
-    images = jnp.asarray(
-        np.random.default_rng(1).uniform(-1, 1, (8, 16, 16, 1)).astype(np.float32)
-    )
-    state2, loss = b1["train_step"](b2["state"], images, jax.random.PRNGKey(3))
+    images = np.random.default_rng(1).uniform(
+        -1, 1, (8, 16, 16, 1)
+    ).astype(np.float32)
+    if b1["epoch_fn"] is not None:
+        idx = np.arange(8, dtype=np.int32).reshape(1, 8)
+        state2, _key, losses = b1["epoch_fn"](
+            b2["state"], jnp.asarray(images), idx, jax.random.PRNGKey(3)
+        )
+        loss = losses[0]
+    else:
+        state2, loss = b1["train_step"](
+            b2["state"], jnp.asarray(images), jax.random.PRNGKey(3)
+        )
     assert np.isfinite(float(loss))
 
 
@@ -284,3 +296,132 @@ def test_train_students_skip_existing(test_config, monkeypatch):
     trained.clear()
     out2 = st.train_students(cfg, custom_size_factors=[0.25, 0.5])
     assert trained == [0.25, 0.5], trained
+
+
+def test_epoch_scan_matches_batch_loop(test_config):
+    """The epoch-level lax.scan path (device-resident dataset, one dispatch
+    per epoch) reproduces the per-batch python loop EXACTLY: same key-split
+    sequence, same gathered batches, same losses and params."""
+    from distillation_trajectories_tpu.data.datasets import DataLoader
+    from distillation_trajectories_tpu.training.state import (
+        create_train_state,
+        make_distill_epoch_fn,
+        make_distill_train_step,
+        make_optimizer,
+        make_teacher_epoch_fn,
+        make_teacher_train_step,
+    )
+
+    cfg = test_config
+    rng = np.random.default_rng(0)
+    n, b = 20, 4
+    images_all = rng.standard_normal(
+        (n, cfg.image_size, cfg.image_size, cfg.channels)
+    ).astype(np.float32)
+    labels = np.zeros(n, dtype=np.int32)
+    dp = get_diffusion_params(cfg.timesteps, cfg)
+
+    teacher = make_unet(cfg, size_factor=0.2)
+    t_vars = init_unet(teacher, cfg, jax.random.PRNGKey(0))
+    student = make_unet(cfg, size_factor=0.1)
+    s_vars = init_unet(student, cfg, jax.random.PRNGKey(1))
+    tx = make_optimizer(cfg)
+
+    def run(mode, make_step, make_epoch, *factory_args):
+        state = create_train_state(student, jax.tree_util.tree_map(
+            jnp.copy, s_vars), tx)
+        loader = DataLoader(images_all, labels, b, shuffle=True, seed=7)
+        key = jax.random.PRNGKey(5)
+        losses_out = []
+        if mode == "loop":
+            step = make_step(*factory_args)
+            for _ in range(2):  # epochs
+                losses = []
+                for images, _lbl in loader:
+                    key, sk = jax.random.split(key)
+                    state, loss = step(state, jnp.asarray(images), sk)
+                    losses.append(loss)
+                losses_out.append(np.asarray(jax.device_get(losses)))
+        else:
+            epoch_fn = make_epoch(*factory_args)
+            dataset = jnp.asarray(images_all)
+            for _ in range(2):
+                idx = loader.epoch_indices()
+                state, key, losses = epoch_fn(state, dataset, idx, key)
+                losses_out.append(np.asarray(jax.device_get(losses)))
+        return losses_out, jax.device_get(state.params)
+
+    # Distillation step family (the dominant workload stage).
+    d_args = (dp, cfg.timesteps, max(cfg.timesteps // 2, 1))
+    loop_losses, loop_params = run(
+        "loop",
+        lambda *a: make_distill_train_step(teacher, t_vars, student, tx, *a),
+        None,
+        *d_args,
+    )
+    scan_losses, scan_params = run(
+        "scan",
+        None,
+        lambda *a: make_distill_epoch_fn(teacher, t_vars, student, tx, *a),
+        *d_args,
+    )
+    for lo, sc in zip(loop_losses, scan_losses):
+        np.testing.assert_allclose(lo, sc, rtol=1e-6, atol=1e-7)
+    # Losses tight (epoch-2 losses depend on epoch-1 params, so 1e-6
+    # agreement proves the paths are semantically identical); params loose —
+    # the scan and the unrolled step are DIFFERENT XLA compilations, and
+    # reduction-order drift is amplified by Adam on near-zero second
+    # moments (same convention as the SPMD parity in __graft_entry__.py).
+    for a, c in zip(
+        jax.tree_util.tree_leaves(loop_params),
+        jax.tree_util.tree_leaves(scan_params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   rtol=5e-2, atol=2e-3)
+
+    # Teacher step family.
+    def run_teacher(mode):
+        model = teacher
+        state = create_train_state(model, jax.tree_util.tree_map(
+            jnp.copy, t_vars), tx)
+        loader = DataLoader(images_all, labels, b, shuffle=True, seed=3)
+        key = jax.random.PRNGKey(9)
+        if mode == "loop":
+            step = make_teacher_train_step(model, tx, dp, cfg.timesteps)
+            losses = []
+            for images, _lbl in loader:
+                key, sk = jax.random.split(key)
+                state, loss = step(state, jnp.asarray(images), sk)
+                losses.append(loss)
+            return np.asarray(jax.device_get(losses)), jax.device_get(state.params)
+        epoch_fn = make_teacher_epoch_fn(model, tx, dp, cfg.timesteps)
+        idx = loader.epoch_indices()
+        state, key, losses = epoch_fn(state, jnp.asarray(images_all), idx, key)
+        return np.asarray(jax.device_get(losses)), jax.device_get(state.params)
+
+    tl, tp = run_teacher("loop")
+    sl, sp = run_teacher("scan")
+    np.testing.assert_allclose(tl, sl, rtol=1e-6, atol=1e-7)
+    for a, c in zip(jax.tree_util.tree_leaves(tp),
+                    jax.tree_util.tree_leaves(sp)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   rtol=5e-2, atol=2e-3)
+
+
+def test_epoch_indices_match_iterator(test_config):
+    """DataLoader.epoch_indices reproduces the iterator's batch composition
+    (same shuffle stream, same drop-last truncation)."""
+    from distillation_trajectories_tpu.data.datasets import DataLoader
+
+    rng = np.random.default_rng(1)
+    images = rng.standard_normal((19, 4, 4, 1)).astype(np.float32)
+    labels = np.arange(19, dtype=np.int32)
+    a = DataLoader(images, labels, 4, shuffle=True, seed=11)
+    b = DataLoader(images, labels, 4, shuffle=True, seed=11)
+    for _epoch in range(3):
+        idx = a.epoch_indices()
+        iterated = list(b)
+        assert idx.shape == (len(b), 4)
+        for row, (batch_images, batch_labels) in zip(idx, iterated):
+            np.testing.assert_array_equal(images[row], batch_images)
+            np.testing.assert_array_equal(labels[row], batch_labels)
