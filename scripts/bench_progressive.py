@@ -110,6 +110,13 @@ def main():
                         "endpoint MSE).  Uses the on-device Inception "
                         "featurizer (seeded random features unless "
                         "INCEPTION_WEIGHTS is set).")
+    parser.add_argument("--record_tag", type=str, default=None,
+                        help="When set (e.g. 'r04'): also write the result "
+                        "as BENCH_PROG_{tag}.json at the repo root — the "
+                        "per-round tracked record of the fewer-forwards "
+                        "lane (the measured sampler roofline makes forward "
+                        "count the only remaining throughput lever; see "
+                        "PERFORMANCE.md round-3 sections)")
     parser.add_argument("--w_sweep", type=str, default=None,
                         help="comma list of guidance scales (e.g. "
                         "'1.0,2.0,3.0,5.0,7.5'): in --guidance_range mode, "
@@ -334,6 +341,10 @@ def main():
             sn_noise, fast_steps, dp_s["alphas"], seed=22,
         )[-1]
         inception = InceptionModel()
+        result["quality"]["fid_features"] = (
+            "pretrained-torchvision" if inception.pretrained
+            else "seeded-random"
+        )
         t_feat = np.asarray(inception.get_features(t_set))
         s_feat = np.asarray(inception.get_features(s_set))
         result["quality"]["fid_teacher_vs_student"] = float(
@@ -358,6 +369,17 @@ def main():
         json.dump(result, f, indent=2)
         f.write("\n")
     print(f"[progressive] wrote {path}")
+    if args.record_tag:
+        rec = dict(result)
+        rec["round"] = args.record_tag
+        rec["recorded_unix"] = round(time.time(), 1)
+        root_path = os.path.join(
+            project_root, f"BENCH_PROG_{args.record_tag}.json"
+        )
+        with open(root_path, "w") as f:
+            json.dump(rec, f, indent=2)
+            f.write("\n")
+        print(f"[progressive] wrote {root_path}")
     print(json.dumps(result))
 
 

@@ -1,0 +1,118 @@
+"""One-command round-record pipeline: probe -> bench -> sweep -> progressive.
+
+The axon tunnel regularly goes down for 1h+ (PERFORMANCE.md outage log);
+round 3 ended with its flagship artifacts unrecorded because the runs were
+attempted interactively late in the round.  This script is the institutional
+fix: launch it in the background at the START of a round and it waits out a
+dead tunnel, then records every per-round artifact in sequence on the
+single-tenant chip:
+
+1. ``python bench.py``                      -> BENCH ledger + stdout JSON
+2. ``python scripts/run_full_sweep.py``     -> SWEEP_{tag}.json
+3. ``python scripts/bench_progressive.py``  -> BENCH_PROG_{tag}.json
+   (the fewer-forwards lane: w-conditioned progressive student vs the CFG
+   teacher — the only remaining throughput lever at the measured 60.9% MFU
+   sampler roofline)
+
+Each stage gets a hard wall-clock timeout (a dropped RPC otherwise hangs
+forever) and the tunnel is re-probed between stages.  Stage logs land in
+``output/results/record_{tag}_{stage}.log``.
+
+Usage:
+    nohup python -u scripts/record_round.py --tag r05 > /tmp/record.log 2>&1 &
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from _common import project_root  # noqa: E402
+
+from distillation_trajectories_tpu.utils.tunnel import (  # noqa: E402
+    probe_device,
+    wait_for_device,
+)
+
+
+def _wait_healthy(require_streak: int = 2, interval: float = 120.0) -> None:
+    """Block until the tunnel reports ``ok`` on ``require_streak``
+    consecutive probes 60s apart — a single ok during a flapping recovery
+    window has launched runs straight into the next outage."""
+    t0 = time.time()
+    streak = 0
+    while True:
+        r = probe_device()
+        print(json.dumps({"t": round(time.time() - t0, 1), **r}, default=str),
+              flush=True)
+        if r["status"] == "ok":
+            streak += 1
+            if streak >= require_streak:
+                return
+            time.sleep(60)
+        else:
+            streak = 0
+            time.sleep(interval)
+
+
+def _stage(name: str, cmd: list, tag: str, timeout: float) -> bool:
+    log_path = os.path.join(
+        project_root, "output", "results", f"record_{tag}_{name}.log")
+    os.makedirs(os.path.dirname(log_path), exist_ok=True)
+    print(f"[record] stage {name}: {' '.join(cmd)} (log {log_path})",
+          flush=True)
+    t0 = time.time()
+    try:
+        with open(log_path, "a") as log:
+            rc = subprocess.call(cmd, cwd=project_root, stdout=log,
+                                 stderr=subprocess.STDOUT, timeout=timeout)
+    except subprocess.TimeoutExpired:
+        rc = -1
+        print(f"[record] stage {name}: TIMEOUT after {timeout}s", flush=True)
+    print(f"[record] stage {name}: rc={rc} in {time.time() - t0:.1f}s",
+          flush=True)
+    return rc == 0
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--tag", type=str, required=True, help="e.g. r05")
+    parser.add_argument("--skip_bench", action="store_true")
+    parser.add_argument("--skip_sweep", action="store_true")
+    parser.add_argument("--skip_progressive", action="store_true")
+    parser.add_argument("--sweep_args", type=str, default="",
+                        help="extra args for run_full_sweep.py, e.g. "
+                        "'--skip-training'")
+    args = parser.parse_args()
+    py = sys.executable
+
+    results = {}
+    if not args.skip_bench:
+        _wait_healthy()
+        results["bench"] = _stage(
+            "bench", [py, "-u", "bench.py"], args.tag, timeout=2400)
+    if not args.skip_sweep:
+        _wait_healthy()
+        cmd = [py, "-u", "scripts/run_full_sweep.py", "--tag", args.tag]
+        if args.sweep_args:
+            cmd += args.sweep_args.split()
+        results["sweep"] = _stage("sweep", cmd, args.tag, timeout=10800)
+    if not args.skip_progressive:
+        _wait_healthy()
+        results["progressive"] = _stage(
+            "progressive",
+            [py, "-u", "scripts/bench_progressive.py",
+             "--rounds", "2", "--epochs", "3",
+             "--guidance_range", "1.0,7.5", "--guidance", "3.0",
+             "--w_sweep", "1.0,2.0,3.0,5.0,7.5", "--fid_samples", "128",
+             "--record_tag", args.tag],
+            args.tag, timeout=5400)
+    print(f"[record] DONE {json.dumps(results)}", flush=True)
+    sys.exit(0 if all(results.values()) else 1)
+
+
+if __name__ == "__main__":
+    main()
