@@ -11,3 +11,8 @@ from .unet import (
     upsample_bilinear_x2,
     resize_bilinear_align_corners,
 )
+from .torch_port import (
+    import_reference_unet_checkpoint,
+    infer_size_factor,
+    unet_variables_from_torch_state_dict,
+)

@@ -179,6 +179,13 @@ def test_sweep_parallel_matches_sequential(tmp_path):
 
     for sf in size_factors:
         cfg_seq = _tiny_config(tmp_path / f"seq{sf}")
+        # Like-for-like control: the mesh path always runs the per-batch
+        # step (shard_batch placement), so pin the sequential control to it
+        # too — the epoch-level lax.scan is a DIFFERENT XLA compilation
+        # whose reduction-order drift under Adam exceeds this test's strict
+        # SPMD==unsharded tolerance (scan-vs-loop parity has its own test
+        # with the loose bound: test_training.test_epoch_scan_matches_batch_loop).
+        cfg_seq.epoch_scan = False
         _, seq_vars = distill_diffusion_model(
             teacher, teacher_vars, cfg_seq, size_factor=sf, seed=0
         )
