@@ -22,6 +22,11 @@ def main():
     parser.add_argument("--size_factors", type=str, default="0.1,0.5,1.0")
     parser.add_argument("--num_samples", type=int, default=50)
     parser.add_argument("--timesteps", type=int, default=None)
+    parser.add_argument("--dataset", choices=["MNIST", "CIFAR10"], default=None)
+    parser.add_argument("--num_channels", type=int, default=None)
+    parser.add_argument("--image_size", type=int, default=None)
+    parser.add_argument("--base_dir", type=str, default=None,
+                        help="Override the output root directory")
     args = parser.parse_args()
     preflight_probe()
 
@@ -29,7 +34,16 @@ def main():
     from distillation_trajectories_tpu.metrics import InceptionModel
     from distillation_trajectories_tpu.metrics.fid import fid_across_sizes
 
-    config = Config()
+    overrides = {}
+    if args.dataset:
+        overrides["dataset"] = args.dataset
+    if args.num_channels:
+        overrides["channels"] = args.num_channels
+    if args.image_size:
+        overrides["image_size"] = args.image_size
+    if args.base_dir:
+        overrides["base_dir"] = args.base_dir
+    config = Config(**overrides)
     if args.timesteps:
         config.timesteps = args.timesteps
         config.sample_steps = args.timesteps
