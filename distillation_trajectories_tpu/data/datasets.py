@@ -212,14 +212,8 @@ class DataLoader:
         (training/state.py::make_*_epoch_fn) consumes this with the full
         dataset resident on device instead of per-batch host uploads.
         """
-        from .native import shuffle_indices
-
         self._epoch += 1
-        n = len(self.images)
-        if self.shuffle:
-            idx = shuffle_indices(n, self.seed * 1_000_003 + self._epoch)
-        else:
-            idx = np.arange(n, dtype=np.int64)
+        idx = self._epoch_perm()
         nb = len(self) if n_batches is None else min(n_batches, len(self))
         return (
             idx[: nb * self.batch_size]
@@ -227,14 +221,24 @@ class DataLoader:
             .astype(np.int32)
         )
 
-    def _epoch_batches(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
-        from .native import gather_f32, shuffle_indices
+    def _epoch_perm(self) -> np.ndarray:
+        """This epoch's shuffle permutation — the SINGLE definition of the
+        shuffle stream.  epoch_indices (epoch-scan training) and
+        _epoch_batches (per-batch iteration) must stay on the same stream
+        or scan-mode batch composition silently desynchronizes from
+        loop-mode (their bitwise parity is the epoch-scan path's
+        correctness contract; see test_epoch_scan_matches_batch_loop)."""
+        from .native import shuffle_indices
 
         n = len(self.images)
         if self.shuffle:
-            idx = shuffle_indices(n, self.seed * 1_000_003 + self._epoch)
-        else:
-            idx = np.arange(n, dtype=np.int64)
+            return shuffle_indices(n, self.seed * 1_000_003 + self._epoch)
+        return np.arange(n, dtype=np.int64)
+
+    def _epoch_batches(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        from .native import gather_f32
+
+        idx = self._epoch_perm()
         for i in range(len(self)):
             sel = idx[i * self.batch_size : (i + 1) * self.batch_size]
             yield gather_f32(self.images, sel), self.labels[sel]

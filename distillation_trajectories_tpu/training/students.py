@@ -267,7 +267,13 @@ def distill_diffusion_model(
                     state, key, losses_dev = epoch_fn(
                         state, dataset_dev, idx, key
                     )
-                    avg_loss = float(np.mean(jax.device_get(losses_dev)))
+                    # len guard matches the per-batch path's `if losses
+                    # else 0.0` (np.mean([]) is NaN + RuntimeWarning).
+                    losses_host = jax.device_get(losses_dev)
+                    avg_loss = (
+                        float(np.mean(losses_host)) if len(losses_host)
+                        else 0.0
+                    )
                 else:
                     # Device-side loss accumulation: a float(loss) per step
                     # costs one tunnel RTT per batch and blocks async

@@ -399,7 +399,10 @@ def _sweep_compare_multi_impl(
     ):
         noises, seeds, mesh = job_inputs(job)
         for f in [teacher_fn] + list(student_fns.values()):
-            k = (id(f), job["num_samples"], job["base_seed"])
+            # Key on the function + input AVALS only: base_seed changes the
+            # noise/seed VALUES, not the lowered graph — including it would
+            # compile identical graphs once per seed.
+            k = (id(f), job["num_samples"])
             if k in seen_fn_inputs:
                 continue
             seen_fn_inputs.add(k)
@@ -415,7 +418,7 @@ def _sweep_compare_multi_impl(
             # under a mesh: these avals carry no shardings, so the AOT
             # compile would miss the dispatch cache exactly in the
             # multi-device case.
-            mk = (job["num_samples"], job["base_seed"], job["timesteps"])
+            mk = (job["num_samples"], job["timesteps"])
             if mk not in seen_metric_shapes:
                 seen_metric_shapes.add(mk)
                 traj_aval = jax.ShapeDtypeStruct(
@@ -465,9 +468,12 @@ def _sweep_compare_multi_impl(
         for gs in job["guidance_scales"]:
             use_cfg = gs is not None and gs > 1.0
             pairs = cfg_pairs if use_cfg else nocfg_pairs
-            gs_arr = jnp.float32(1.0 if gs is None else gs)
+            gs_host = float(1.0 if gs is None else gs)
+            # Cache key from the HOST value: float(device_scalar) is a
+            # synchronous per-scalar tunnel fetch (one RTT per (job, scale)).
+            gs_arr = jnp.float32(gs_host)
             ck = (
-                job["timesteps"], use_cfg, float(gs_arr),
+                job["timesteps"], use_cfg, gs_host,
                 job["base_seed"], job["num_samples"],
             )
             t_trajs = teacher_chain_cache.get(ck)

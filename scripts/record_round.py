@@ -92,8 +92,12 @@ def main():
     results = {}
     if not args.skip_bench:
         _wait_healthy()
+        # Must exceed bench.py's own worst-case budget (600s probe wait +
+        # 420/900/900s attempt timeouts + sleeps ≈ 2850s) so its
+        # stale-record exit always runs — killing it early would reproduce
+        # the opaque rc=124 tail the ledger exists to prevent.
         results["bench"] = _stage(
-            "bench", [py, "-u", "bench.py"], args.tag, timeout=2400)
+            "bench", [py, "-u", "bench.py"], args.tag, timeout=3300)
     if not args.skip_sweep:
         _wait_healthy()
         cmd = [py, "-u", "scripts/run_full_sweep.py", "--tag", args.tag]

@@ -123,10 +123,13 @@ def _probe_weight_lanes() -> dict:
     }
 
 
-def _job_marginal(log_path, job: int) -> float:
-    """Marginal seconds of job ``job`` from the multi-job CLI's log.
+def _job_marginal(log_path, label: str) -> float:
+    """Marginal seconds of the job labeled ``label`` (output-dir basename)
+    from the multi-job CLI's log.
 
-    The CLI prints ``[jobs] job N (...): marginal X.Xs`` per job; the LAST
+    The CLI prints ``[jobs] job N ({label}): marginal X.Xs`` per job; match
+    by LABEL, not index — the CLI numbers jobs over its FILTERED live-jobs
+    list, so indices shift when a job has no trained students.  The LAST
     occurrence wins (stage retries append attempts to one log).  Returns
     0.0 when the line is absent (failed stage) — the combined wall-clock
     then stays attributed to cfg_sweep, never lost.
@@ -135,7 +138,8 @@ def _job_marginal(log_path, job: int) -> float:
     try:
         with open(log_path) as f:
             for line in f:
-                if line.startswith(f"[jobs] job {job} ") and "marginal" in line:
+                if (line.startswith("[jobs] job ")
+                        and f"({label}):" in line and "marginal" in line):
                     marginal = float(line.rsplit("marginal", 1)[1].strip().rstrip("s"))
     except (OSError, ValueError):
         pass
@@ -247,7 +251,7 @@ def main():
         retries=2,
     )
     trio_marginal = _job_marginal(
-        os.path.join(log_dir, "sweep_cfg_trio.log"), job=1)
+        os.path.join(log_dir, "sweep_cfg_trio.log"), label="trio")
     shared_note = " [shared process with trio; see sweep_cfg_trio.log]"
     stages["cfg_sweep"] = {
         "ok": combined["ok"],

@@ -132,8 +132,13 @@ def test_job_marginal_parses_last_occurrence(tmp_path):
         "[jobs] job 0 (heatmaps): marginal 30.2s\n"
         "[jobs] job 1 (trio): marginal 12.3s\n"
     )
-    assert rfs._job_marginal(str(log), job=1) == 12.3
-    assert rfs._job_marginal(str(log), job=0) == 30.2
+    assert rfs._job_marginal(str(log), label="trio") == 12.3
+    assert rfs._job_marginal(str(log), label="heatmaps") == 30.2
+    # Label-matching must survive index shifts from the CLI's live-job
+    # filtering (a job with no trained students is dropped and renumbered).
+    log2 = tmp_path / "filtered.log"
+    log2.write_text("[jobs] job 0 (trio): marginal 7.5s\n")
+    assert rfs._job_marginal(str(log2), label="trio") == 7.5
     # absent job / missing file -> 0.0 (combined wall stays on cfg_sweep)
-    assert rfs._job_marginal(str(log), job=7) == 0.0
-    assert rfs._job_marginal(str(tmp_path / "nope.log"), job=1) == 0.0
+    assert rfs._job_marginal(str(log), label="nope") == 0.0
+    assert rfs._job_marginal(str(tmp_path / "nope.log"), label="trio") == 0.0
