@@ -42,11 +42,24 @@ def _ledger_append(record: dict) -> None:
 
 
 def _ledger_last() -> dict:
-    """Last successful measurement, or None."""
+    """Most recent HEALTHY measurement, or None.
+
+    bench.py deliberately proceeds on a degraded probe (a number with a
+    recorded degraded preflight beats no number), and that record lands in
+    the ledger too — but degraded-tunnel values run up to ~90x inflated,
+    so the stale-replay path must never serve one as "last-known-good".
+    Skips entries whose preflight status is not ok/up ("up" is the
+    pre-ledger r2 seed's status).
+    """
     try:
         with open(LEDGER) as f:
             lines = [ln for ln in f.read().splitlines() if ln.strip()]
-        return json.loads(lines[-1]) if lines else None
+        for ln in reversed(lines):
+            rec = json.loads(ln)
+            status = (rec.get("preflight") or {}).get("status")
+            if status in ("ok", "up", None):
+                return rec
+        return None
     except (OSError, json.JSONDecodeError):
         return None
 

@@ -213,21 +213,32 @@ def unet_torch_state_dict_from_variables(
 def infer_size_factor(state_dict: Dict[str, Any]) -> Optional[float]:
     """Best-effort ``size_factor`` from a reference state dict's shapes.
 
-    Scans sf ∈ {0.01, 0.02, …, 2.00} for one reproducing BOTH
+    Scans sf ∈ {0.01, 0.02, …, 2.00} for values reproducing BOTH
     ``base_channels = max(int(128·sf), 16)`` (enc1.conv1 out-channels) and
-    ``time_emb_dim = max(int(256·sf), 16)`` (time_mlp.1 out-features) —
-    the 16-channel floor makes base alone ambiguous below sf ≈ 0.125 while
-    the time dim still varies (reference models.py:101-104).  Returns the
-    smallest matching sf, or None when nothing matches (pass an explicit
-    --size_factor then).
+    ``time_emb_dim = max(int(256·sf), 16)`` (time_mlp.1 out-features,
+    reference models.py:101-104).  Both dims hit the 16 floor for every
+    sf ≤ 0.06, so checkpoints in that region are indistinguishable by
+    shape: raises ValueError listing the candidates instead of guessing
+    (the produced weights would be identical, but the checkpoint would be
+    saved under the wrong ``size_{sf}`` directory and silently shadow a
+    different student).  Returns None when nothing matches (pass an
+    explicit --size_factor either way).
     """
     base = int(_to_np(state_dict["enc1.conv1.weight"]).shape[0])
     ted = int(_to_np(state_dict["time_mlp.1.weight"]).shape[0])
-    for i in range(1, 201):
-        sf = i / 100.0
-        if max(int(128 * sf), 16) == base and max(int(256 * sf), 16) == ted:
-            return sf
-    return None
+    matches = [
+        i / 100.0
+        for i in range(1, 201)
+        if max(int(128 * (i / 100.0)), 16) == base
+        and max(int(256 * (i / 100.0)), 16) == ted
+    ]
+    if len(matches) > 1:
+        raise ValueError(
+            f"size_factor is ambiguous from shapes (base={base}, "
+            f"time_emb={ted}): any of {matches} builds this architecture; "
+            "pass --size_factor explicitly"
+        )
+    return matches[0] if matches else None
 
 
 def import_reference_unet_checkpoint(

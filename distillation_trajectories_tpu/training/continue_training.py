@@ -12,15 +12,14 @@ import os
 import time
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from ..data import get_data_loader
 from ..diffusion import get_diffusion_params
 from ..models import make_unet
-from ..parallel import mesh_from_config, shard_batch, shard_train_state
-from ..parallel.mesh import replicated
+from ..parallel import mesh_from_config, shard_train_state
 from .checkpoints import AsyncCheckpointWriter, load_checkpoint, save_checkpoint
+from .loop import run_train_epoch
 from .state import (
     TrainState,
     create_train_state,
@@ -62,8 +61,23 @@ def continue_training(config, start_epoch: int, seed: int = 0, log_every: int = 
         print(f"[continue] SPMD over mesh {dict(mesh.shape)}")
 
     diffusion_params = get_diffusion_params(config.timesteps, config)
-    train_step = make_teacher_train_step(model, tx, diffusion_params, config.timesteps)
     loader = get_data_loader(config, seed=seed + start_epoch)
+    # Resume gets the same epoch-scan fast path as fresh teacher training:
+    # one dispatch + zero per-batch uploads per epoch (state.py rationale).
+    from .state import epoch_scan_enabled, make_teacher_epoch_fn
+
+    use_scan = epoch_scan_enabled(config, mesh)
+    train_step = epoch_fn = dataset_dev = None
+    if use_scan:
+        epoch_fn = make_teacher_epoch_fn(
+            model, tx, diffusion_params, config.timesteps
+        )
+        dataset_dev = jax.device_put(loader.images)
+        dataset_dev.block_until_ready()
+    else:
+        train_step = make_teacher_train_step(
+            model, tx, diffusion_params, config.timesteps
+        )
     ckpt_writer = AsyncCheckpointWriter()
     # One executable for all epochs' sample grids (see teacher.make_grid_fn).
     from .teacher import make_grid_fn
@@ -77,29 +91,23 @@ def continue_training(config, start_epoch: int, seed: int = 0, log_every: int = 
     for i in range(config.epochs):
         epoch = start_epoch + i
         t0 = time.time()
-        # Device-side loss accumulation (see training/teacher.py epoch loop).
-        losses = []
-        for batch_idx, (images, _) in enumerate(loader):
-            if (
-                config.limit_batches_per_epoch is not None
-                and batch_idx >= config.limit_batches_per_epoch
-            ):
-                break
-            key, step_key = jax.random.split(key)
-            if mesh is not None:
-                images = shard_batch(images, mesh)
-                step_key = jax.device_put(step_key, replicated(mesh))
-            else:
-                images = jnp.asarray(images)
-            state, loss = train_step(state, images, step_key)
-            losses.append(loss)
-            if log_every and (batch_idx + 1) % log_every == 0:
-                print(
-                    f"[continue] epoch {epoch + 1} batch {batch_idx + 1}/"
-                    f"{len(loader)} loss "
-                    f"{float(np.mean(jax.device_get(losses))):.5f}"
-                )
-        avg_loss = float(np.mean(jax.device_get(losses))) if losses else 0.0
+        # Shared epoch driver (training/loop.py): device-side loss
+        # accumulation, mesh batch sharding, identical key-split sequence.
+        state, key, avg_loss, _ = run_train_epoch(
+            state,
+            key,
+            use_scan=use_scan,
+            epoch_fn=epoch_fn,
+            train_step=train_step,
+            loader=loader,
+            dataset_dev=dataset_dev,
+            config=config,
+            mesh=mesh,
+            progress_desc=f"Continue Epoch {epoch + 1}",
+            log_label=f"[continue] epoch {epoch + 1}",
+            log_every=log_every,
+            loss_fmt=".5f",
+        )
         print(
             f"[continue] epoch {epoch + 1} avg loss "
             f"{avg_loss:.5f} ({time.time() - t0:.1f}s)"

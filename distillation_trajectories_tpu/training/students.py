@@ -20,7 +20,7 @@ import numpy as np
 from ..data import get_data_loader
 from ..diffusion import get_diffusion_params, p_sample_loop
 from ..models import make_unet, init_unet, param_count, param_size_mb
-from ..parallel import mesh_from_config, shard_batch, shard_params, shard_train_state
+from ..parallel import mesh_from_config, shard_params, shard_train_state
 from ..parallel.mesh import replicated
 from ..utils.profiling import (
     MetricsLogger,
@@ -29,7 +29,7 @@ from ..utils.profiling import (
     phase_times,
 )
 from ..utils.viz import save_image_grid
-from .teacher import _progress
+from .loop import run_train_epoch
 from .checkpoints import (
     AsyncCheckpointWriter,
     latest_epoch,
@@ -260,58 +260,23 @@ def distill_diffusion_model(
             # only (worst measured ~70s).
             arm_watchdog(1800.0 if epoch == 0 else 600.0)
             with phase_timer(f"distill_epoch_sf{size_factor}"):
-                if use_scan:
-                    # One dispatch for the whole epoch; losses stay on
-                    # device until the single fetch below.
-                    idx = loader.epoch_indices(config.limit_batches_per_epoch)
-                    state, key, losses_dev = epoch_fn(
-                        state, dataset_dev, idx, key
-                    )
-                    # len guard matches the per-batch path's `if losses
-                    # else 0.0` (np.mean([]) is NaN + RuntimeWarning).
-                    losses_host = jax.device_get(losses_dev)
-                    avg_loss = (
-                        float(np.mean(losses_host)) if len(losses_host)
-                        else 0.0
-                    )
-                else:
-                    # Device-side loss accumulation: a float(loss) per step
-                    # costs one tunnel RTT per batch and blocks async
-                    # dispatch pipelining.
-                    losses = []
-                    progress = _progress(
-                        loader,
-                        f"Distillation Epoch {epoch + 1}/{config.epochs}",
-                        config,
-                    )
-                    for batch_idx, (images, _) in enumerate(progress):
-                        if (
-                            config.limit_batches_per_epoch is not None
-                            and batch_idx >= config.limit_batches_per_epoch
-                        ):
-                            break
-                        key, step_key = jax.random.split(key)
-                        if mesh is not None:
-                            images = shard_batch(images, mesh)
-                            step_key = jax.device_put(step_key, replicated(mesh))
-                        else:
-                            images = jnp.asarray(images)
-                        state, loss = train_step(state, images, step_key)
-                        losses.append(loss)
-                        if log_every and (batch_idx + 1) % log_every == 0:
-                            running = float(np.mean(jax.device_get(losses)))
-                            if hasattr(progress, "set_postfix"):
-                                progress.set_postfix(loss=running)
-                            else:
-                                print(
-                                    f"[distill sf={size_factor}] epoch "
-                                    f"{epoch + 1} batch {batch_idx + 1}/"
-                                    f"{len(loader)} loss {running:.6f}"
-                                )
-                    avg_loss = (
-                        float(np.mean(jax.device_get(losses))) if losses
-                        else 0.0
-                    )
+                state, key, avg_loss, _ = run_train_epoch(
+                    state,
+                    key,
+                    use_scan=use_scan,
+                    epoch_fn=epoch_fn,
+                    train_step=train_step,
+                    loader=loader,
+                    dataset_dev=dataset_dev,
+                    config=config,
+                    mesh=mesh,
+                    progress_desc=(
+                        f"Distillation Epoch {epoch + 1}/{config.epochs}"
+                    ),
+                    log_label=f"[distill sf={size_factor}] epoch {epoch + 1}",
+                    log_every=log_every,
+                    loss_fmt=".6f",
+                )
             print(
                 f"[distill sf={size_factor}] epoch {epoch + 1}/{config.epochs} "
                 f"avg loss {avg_loss:.6f} "

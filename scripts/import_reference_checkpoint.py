@@ -46,6 +46,15 @@ def main():
                         help="explicit output DIRECTORY (overrides --role)")
     args = parser.parse_args()
 
+    # The port is pure host math (torch tensor -> numpy relayout) plus one
+    # tiny jitted init to get the variable-tree structure: force the CPU
+    # backend so the CLI never touches the tunneled TPU — it works during
+    # outages and never contends with a measured run holding the chip.
+    # (The axon plugin ignores JAX_PLATFORMS; jax.config is the one switch.)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
     from distillation_trajectories_tpu import Config
     from distillation_trajectories_tpu.models.torch_port import (
         import_reference_unet_checkpoint,

@@ -25,6 +25,7 @@ Usage:
 import argparse
 import json
 import os
+import signal
 import subprocess
 import sys
 import time
@@ -65,13 +66,34 @@ def _stage(name: str, cmd: list, tag: str, timeout: float) -> bool:
     print(f"[record] stage {name}: {' '.join(cmd)} (log {log_path})",
           flush=True)
     t0 = time.time()
-    try:
-        with open(log_path, "a") as log:
-            rc = subprocess.call(cmd, cwd=project_root, stdout=log,
-                                 stderr=subprocess.STDOUT, timeout=timeout)
-    except subprocess.TimeoutExpired:
-        rc = -1
-        print(f"[record] stage {name}: TIMEOUT after {timeout}s", flush=True)
+    # start_new_session so a timeout kills the WHOLE process group: the
+    # stages here are themselves stage-runners (run_full_sweep spawns
+    # train_students etc., bench_progressive spawns nothing but bench's
+    # probe does) — subprocess's own timeout kill reaps only the direct
+    # child, and an orphaned grandchild would keep holding the
+    # single-tenant chip while the next stage launches into it.
+    with open(log_path, "a") as log:
+        proc = subprocess.Popen(cmd, cwd=project_root, stdout=log,
+                                stderr=subprocess.STDOUT,
+                                start_new_session=True)
+        try:
+            rc = proc.wait(timeout=timeout)
+        except subprocess.TimeoutExpired:
+            rc = -1
+            print(f"[record] stage {name}: TIMEOUT after {timeout}s; "
+                  "killing process group", flush=True)
+            for sig, grace in ((signal.SIGTERM, 30.0), (signal.SIGKILL, None)):
+                try:
+                    os.killpg(proc.pid, sig)
+                except (ProcessLookupError, PermissionError):
+                    break
+                if grace is not None:
+                    try:
+                        proc.wait(timeout=grace)
+                        break
+                    except subprocess.TimeoutExpired:
+                        continue
+                proc.wait()
     print(f"[record] stage {name}: rc={rc} in {time.time() - t0:.1f}s",
           flush=True)
     return rc == 0
@@ -103,7 +125,14 @@ def main():
         cmd = [py, "-u", "scripts/run_full_sweep.py", "--tag", args.tag]
         if args.sweep_args:
             cmd += args.sweep_args.split()
-        results["sweep"] = _stage("sweep", cmd, args.tag, timeout=10800)
+        # 5h: covers a healthy full run (~2000-2800s) plus one mid-run
+        # outage (1800s pre-retry probe wait) and one full stage retry of
+        # the largest stage (students, 3600s) with margin.  The absolute
+        # worst case (every stage times out, retries, and re-probes) is
+        # ~9.5h — not worth waiting for: past ~5h the run has degenerated
+        # and the group-kill above guarantees the chip is released for the
+        # progressive stage either way.
+        results["sweep"] = _stage("sweep", cmd, args.tag, timeout=18000)
     if not args.skip_progressive:
         _wait_healthy()
         results["progressive"] = _stage(

@@ -129,16 +129,21 @@ def _job_marginal(log_path, label: str) -> float:
 
     The CLI prints ``[jobs] job N ({label}): marginal X.Xs`` per job; match
     by LABEL, not index — the CLI numbers jobs over its FILTERED live-jobs
-    list, so indices shift when a job has no trained students.  The LAST
-    occurrence wins (stage retries append attempts to one log).  Returns
-    0.0 when the line is absent (failed stage) — the combined wall-clock
-    then stays attributed to cfg_sweep, never lost.
+    list, so indices shift when a job has no trained students.  Only the
+    LAST attempt counts: run_stage appends an ``===== attempt N =====``
+    banner per attempt AND the log file persists across separate sweep
+    runs, so the parse resets at every banner — a run (or retry) that died
+    before printing its marginals must return 0.0, never inherit a stale
+    value from an earlier attempt/run (the combined wall-clock then stays
+    attributed to cfg_sweep, never lost or double-subtracted).
     """
     marginal = 0.0
     try:
         with open(log_path) as f:
             for line in f:
-                if (line.startswith("[jobs] job ")
+                if line.startswith("===== attempt "):
+                    marginal = 0.0
+                elif (line.startswith("[jobs] job ")
                         and f"({label}):" in line and "marginal" in line):
                     marginal = float(line.rsplit("marginal", 1)[1].strip().rstrip("s"))
     except (OSError, ValueError):

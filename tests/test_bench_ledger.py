@@ -63,6 +63,40 @@ def test_stale_exit_with_history(bench, capsys):
     assert "tunnel down" in rec["error"]
 
 
+def test_ledger_skips_degraded_records(bench):
+    # bench proceeds on a degraded probe by design (the number is recorded
+    # with its provenance), but degraded-tunnel values run up to ~90x
+    # inflated — the stale-replay path must reach past them to the most
+    # recent HEALTHY measurement, never serve one as last-known-good.
+    bench._ledger_append({
+        "ts": 1.0, "value": 904.89,
+        "preflight": {"status": "ok", "rtt_s": 0.03},
+    })
+    bench._ledger_append({
+        "ts": 2.0, "value": 9.7,
+        "preflight": {"status": "degraded", "rtt_s": 2.8},
+    })
+    assert bench._ledger_last()["value"] == 904.89
+    # "up" is the pre-ledger r2 seed's status; missing preflight = legacy ok.
+    bench._ledger_append({"ts": 3.0, "value": 906.1,
+                          "preflight": {"status": "up"}})
+    assert bench._ledger_last()["value"] == 906.1
+    bench._ledger_append({"ts": 4.0, "value": 907.2})
+    assert bench._ledger_last()["value"] == 907.2
+
+
+def test_stale_exit_all_degraded_is_no_history(bench, capsys):
+    bench._ledger_append({
+        "ts": 1.0, "value": 9.7,
+        "preflight": {"status": "degraded", "rtt_s": 2.8},
+    })
+    with pytest.raises(SystemExit) as exc:
+        bench._emit_stale_and_exit("tunnel down; only degraded history")
+    assert exc.value.code == 3
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["stale"] is True and rec["value"] is None
+
+
 def test_stale_exit_without_history(bench, capsys):
     with pytest.raises(SystemExit) as exc:
         bench._emit_stale_and_exit("no tunnel, no history")

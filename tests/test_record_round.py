@@ -47,6 +47,43 @@ def test_stage_timeout_returns_false(rr, tmp_path, monkeypatch):
     ) is False
 
 
+def test_stage_timeout_kills_grandchildren(rr, tmp_path, monkeypatch):
+    """A timed-out stage must take its WHOLE process group down: the stages
+    are stage-runners themselves (run_full_sweep spawns train_students
+    etc.), and an orphaned grandchild would keep holding the single-tenant
+    chip while the next stage launches into it."""
+    import time
+
+    monkeypatch.setattr(rr, "project_root", str(tmp_path))
+    child_src = (
+        "import subprocess, sys, time\n"
+        "p = subprocess.Popen([sys.executable, '-c',"
+        " 'import time; time.sleep(60)'])\n"
+        "print(p.pid, flush=True)\n"
+        "time.sleep(60)\n"
+    )
+    assert rr._stage("orphan", [sys.executable, "-c", child_src],
+                     "t", timeout=2.0) is False
+    log = tmp_path / "output" / "results" / "record_t_orphan.log"
+    grandchild_pid = int(log.read_text().strip().splitlines()[0])
+    def _alive(pid):
+        # A SIGKILLed grandchild may linger as a zombie until init reaps
+        # it; os.kill(pid, 0) still succeeds then — check the state field.
+        try:
+            with open(f"/proc/{pid}/stat") as f:
+                return f.read().rsplit(")", 1)[1].split()[0] != "Z"
+        except OSError:
+            return False
+
+    for _ in range(50):
+        if not _alive(grandchild_pid):
+            break
+        time.sleep(0.1)
+    else:
+        os.kill(grandchild_pid, 9)
+        pytest.fail("grandchild survived the stage-timeout group kill")
+
+
 def test_wait_healthy_requires_streak(rr, monkeypatch):
     """One ok probe inside a flapping window must NOT launch; two
     consecutive oks must."""

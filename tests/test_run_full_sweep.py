@@ -118,9 +118,6 @@ def test_retry_appends_extra_args_and_aborts_when_down(tmp_path, monkeypatch):
 
 
 def test_job_marginal_parses_last_occurrence(tmp_path):
-    sys.path.insert(0, os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "repo-scripts-placeholder"))
     import importlib
 
     rfs = importlib.import_module("run_full_sweep")
@@ -134,6 +131,13 @@ def test_job_marginal_parses_last_occurrence(tmp_path):
     )
     assert rfs._job_marginal(str(log), label="trio") == 12.3
     assert rfs._job_marginal(str(log), label="heatmaps") == 30.2
+    # A later attempt/run that died before printing its marginals must NOT
+    # inherit an earlier one's value: the log file persists across runs
+    # (run_stage opens it in append mode), so stage attribution would
+    # otherwise subtract a stale trio marginal from a fast-failing rerun.
+    log.write_text(log.read_text() + "===== attempt 3 =====\n")
+    assert rfs._job_marginal(str(log), label="trio") == 0.0
+    assert rfs._job_marginal(str(log), label="heatmaps") == 0.0
     # Label-matching must survive index shifts from the CLI's live-job
     # filtering (a job with no trained students is dropped and renumbered).
     log2 = tmp_path / "filtered.log"

@@ -103,6 +103,14 @@ def test_infer_size_factor():
     assert infer_size_factor(_ref_unet(0.1).state_dict()) == 0.1
 
 
+def test_infer_size_factor_ambiguous_floor_region_raises():
+    # Every sf <= 0.06 floors BOTH base channels and time_emb_dim to 16, so
+    # the shapes cannot identify the size factor; silently guessing would
+    # save the checkpoint under the wrong size_{sf} directory.
+    with pytest.raises(ValueError, match="ambiguous"):
+        infer_size_factor(_ref_unet(0.05).state_dict())
+
+
 def test_import_checkpoint_file_roundtrip(tmp_path):
     ref_model = _ref_unet(0.1)
     pt = tmp_path / "model_epoch_3.pt"
