@@ -15,6 +15,11 @@ from .checkpoints import (
     available_epochs,
     variables_from_checkpoint,
     checkpoint_path,
+    abstract_target,
+    save_checkpoint_sharded,
+    load_checkpoint_sharded,
+    available_epochs_sharded,
+    sharded_checkpoint_path,
 )
 from .teacher import train_teacher, generate_sample_grid
 from .students import (
