@@ -121,6 +121,48 @@ def test_import_checkpoint_file_roundtrip(tmp_path):
     _compare(ref_model, model, variables, with_cond=True)
 
 
+def test_export_cli_roundtrip(tmp_path, monkeypatch):
+    """Migration lane OUT: a framework msgpack checkpoint exports through
+    the CLI to a .pt the ACTUAL reference model strict-loads, with forward
+    parity — so TPU-trained models hand back to the reference's torch
+    tooling (its continue_training.py:54 load pattern)."""
+    import importlib
+
+    from distillation_trajectories_tpu.training.checkpoints import (
+        save_checkpoint,
+    )
+
+    config = _config(tmp_path)
+    config.create_directories()
+    model = make_unet(config, size_factor=0.1)
+    variables = init_unet(model, config, jax.random.PRNGKey(5))
+    sdir = os.path.join(config.student_models_dir, "size_0.1")
+    save_checkpoint(sdir, 2, variables["params"],
+                    batch_stats=variables.get("batch_stats"))
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scripts"))
+    cli = importlib.import_module("export_reference_checkpoint")
+    out = tmp_path / "exported.pt"
+    monkeypatch.setattr(sys, "argv", [
+        "export_reference_checkpoint.py", str(out),
+        "--role", "student", "--size_factor", "0.1",
+        "--base_dir", str(tmp_path), "--image_size", "16",
+    ])
+    cli.main()
+
+    ref_model = _ref_unet(0.1)
+    missing_unexpected = ref_model.load_state_dict(
+        torch.load(str(out), map_location="cpu", weights_only=True),
+        strict=True,
+    )
+    assert not missing_unexpected.missing_keys
+    assert not missing_unexpected.unexpected_keys
+    ref_model.eval()
+    _compare(ref_model, model, variables, with_cond=True)
+
+
 def test_export_roundtrip_exact(tmp_path):
     """flax -> torch export inverts the import bit-exactly, and the exported
     dict loads straight into the reference model (strict key check)."""
