@@ -127,6 +127,12 @@ class Config:
     # runs keep the per-batch loop (per-batch shard_batch placement).
     # DTT_EPOCH_SCAN=0 overrides at runtime.
     epoch_scan: bool = True
+    # Save checkpoints through the sharding-preserving orbax lane
+    # (training/checkpoints.py::save_checkpoint_sharded): each shard writes
+    # from its own device, no full-tree host gather — the pod-scale path.
+    # Off by default: msgpack (model_epoch_{e}.msgpack) is the
+    # reference-parity contract every analysis CLI reads.
+    checkpoint_sharded: bool = False
     # Storage dtype for stacked trajectories ("float32" or "bfloat16").
     # bf16 halves trajectory HBM traffic; sampling math itself stays in
     # float32 (only the stored per-step states are cast).  Metric scalars

@@ -35,6 +35,7 @@ from .checkpoints import (
     latest_epoch,
     load_checkpoint,
     save_checkpoint,
+    save_checkpoint_sharded,
     variables_from_checkpoint,
 )
 from .state import (
@@ -289,13 +290,24 @@ def distill_diffusion_model(
 
             if (epoch + 1) % config.save_interval == 0 or epoch == config.epochs - 1:
                 size_dir = config.student_dir(size_factor)
-                writer.save(
-                    size_dir,
-                    epoch + 1,
-                    state.params,
-                    batch_stats=state.batch_stats,
-                    opt_state=state.opt_state,
-                )
+                if config.checkpoint_sharded:
+                    # Pod-scale lane: per-device shard writes, no host
+                    # gather (checkpoints.py sharded lane).
+                    save_checkpoint_sharded(
+                        size_dir,
+                        epoch + 1,
+                        state.params,
+                        batch_stats=state.batch_stats,
+                        opt_state=state.opt_state,
+                    )
+                else:
+                    writer.save(
+                        size_dir,
+                        epoch + 1,
+                        state.params,
+                        batch_stats=state.batch_stats,
+                        opt_state=state.opt_state,
+                    )
                 if epoch == config.epochs - 1 and config.num_samples_to_generate > 0:
                     # End-of-training sample grid (train_students.py:190-210)
                     key, sample_key = jax.random.split(key)

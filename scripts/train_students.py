@@ -42,6 +42,10 @@ def main():
                         help="Samples in the end-of-training grid "
                         "(0 skips grid generation)")
     add_mesh_flag(parser)
+    parser.add_argument("--checkpoint_sharded", action="store_true",
+                        help="Save checkpoints through the sharding-"
+                        "preserving orbax lane (pod-scale; pairs with "
+                        "--mesh). Default stays the msgpack contract.")
     parser.add_argument("--limit_batches", type=int, default=None,
                         help="Cap batches per epoch (smoke runs)")
     parser.add_argument(
@@ -84,6 +88,8 @@ def main():
         config.teacher_steps = args.timesteps
         config.student_steps = args.timesteps
     apply_mesh_arg(config, args)
+    if args.checkpoint_sharded:
+        config.checkpoint_sharded = True
     if args.limit_batches is not None:
         config.limit_batches_per_epoch = args.limit_batches
     if args.num_samples is not None:

@@ -42,6 +42,10 @@ def main():
     parser.add_argument("--num_samples", type=int, default=None,
                         help="Samples in the per-save-interval grid "
                         "(0 skips grid generation)")
+    parser.add_argument("--checkpoint_sharded", action="store_true",
+                        help="Save checkpoints through the sharding-"
+                        "preserving orbax lane (pod-scale; pairs with "
+                        "--mesh). Default stays the msgpack contract.")
     args = parser.parse_args()
 
     from distillation_trajectories_tpu import Config
@@ -70,6 +74,8 @@ def main():
         config.teacher_steps = args.timesteps
         config.student_steps = args.timesteps
     apply_mesh_arg(config, args)
+    if args.checkpoint_sharded:
+        config.checkpoint_sharded = True
     if args.limit_batches is not None:
         config.limit_batches_per_epoch = args.limit_batches
     if args.num_samples is not None:

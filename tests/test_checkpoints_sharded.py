@@ -110,6 +110,34 @@ def test_sharded_load_without_target(tmp_path, mesh_state):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_trainer_writes_sharded_checkpoint_under_mesh(test_config):
+    """Product wiring: Config.checkpoint_sharded routes the SPMD teacher
+    trainer's saves through the orbax lane — checkpoints appear as
+    model_epoch_{e}.orbax directories and restore with mesh shardings."""
+    from distillation_trajectories_tpu.training import (
+        available_epochs_sharded,
+        load_checkpoint_sharded,
+        train_teacher,
+    )
+
+    cfg = test_config
+    cfg.mesh_shape = (4, 2)
+    cfg.checkpoint_sharded = True
+    cfg.limit_batches_per_epoch = 1
+    cfg.num_samples_to_generate = 0
+    import os
+
+    os.environ.pop("DTT_EPOCH_SCAN", None)
+    model, variables = train_teacher(cfg, seed=0)
+    assert available_epochs_sharded(cfg.teacher_models_dir) == [1]
+    payload = load_checkpoint_sharded(cfg.teacher_models_dir)
+    assert payload["epoch"] == 1
+    # All payload families present (params + BN stats + optimizer state).
+    assert set(payload) >= {"params", "batch_stats", "opt_state", "epoch"}
+    leaves = jax.tree_util.tree_leaves(payload["params"])
+    assert leaves and all(np.isfinite(np.asarray(l)).all() for l in leaves)
+
+
 def test_sharded_latest_and_missing(tmp_path):
     from distillation_trajectories_tpu.training import (
         available_epochs_sharded,
