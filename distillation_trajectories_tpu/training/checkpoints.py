@@ -24,6 +24,7 @@ import numpy as np
 from flax import serialization
 
 CKPT_RE = re.compile(r"model_epoch_(\d+)\.(msgpack|pt)$")
+SHARDED_CKPT_RE = re.compile(r"model_epoch_(\d+)\.orbax$")
 
 
 def _to_numpy(tree):
@@ -177,12 +178,16 @@ class AsyncCheckpointWriter:
 
 
 def available_epochs(directory: str):
-    """All epochs with checkpoints in ``directory``, ascending."""
+    """All epochs with checkpoints in ``directory``, ascending.
+
+    Format-transparent: msgpack files AND sharded orbax directories both
+    count (a model trained with ``Config.checkpoint_sharded`` is
+    discoverable by every analysis CLI exactly like a msgpack one)."""
     if not os.path.isdir(directory):
         return []
     epochs = []
     for name in os.listdir(directory):
-        m = CKPT_RE.search(name)
+        m = CKPT_RE.search(name) or SHARDED_CKPT_RE.search(name)
         if m:
             epochs.append(int(m.group(1)))
     return sorted(set(epochs))
@@ -195,18 +200,24 @@ def latest_epoch(directory: str) -> Optional[int]:
 
 
 def load_checkpoint(directory: str, epoch: Optional[int] = None) -> Dict[str, Any]:
-    """Load ``model_epoch_{epoch}`` (or the latest when ``epoch`` is None)."""
+    """Load ``model_epoch_{epoch}`` (or the latest when ``epoch`` is None).
+
+    Format-transparent: reads the msgpack file when present, else the
+    sharded orbax directory of the same epoch (host restore) — so every
+    consumer (analysis CLIs, trainers' resume/skip paths) works on
+    checkpoints written by either lane without knowing which."""
     if epoch is None:
         epoch = latest_epoch(directory)
         if epoch is None:
             raise FileNotFoundError(f"no checkpoints found in {directory}")
     path = checkpoint_path(directory, epoch)
+    if not os.path.exists(path) and os.path.isdir(
+        sharded_checkpoint_path(directory, epoch)
+    ):
+        return load_checkpoint_sharded(directory, epoch)
     with open(path, "rb") as f:
         payload = serialization.msgpack_restore(f.read())
     return payload
-
-
-SHARDED_CKPT_RE = re.compile(r"model_epoch_(\d+)\.orbax$")
 
 
 def sharded_checkpoint_path(directory: str, epoch: int) -> str:
@@ -289,10 +300,12 @@ def load_checkpoint_sharded(
 
     ``target`` is a payload-shaped tree of arrays or ShapeDtypeStructs
     (see :func:`abstract_target`) carrying the destination shardings;
-    with ``target=None`` the tree restores as default-device arrays with
-    the saved shapes/dtypes (inspection / single-device use — orbax warns
-    because topology match is then unverified).  Returns the payload dict
-    with ``epoch``/``extra`` re-attached from the sidecar.
+    with ``target=None`` the whole tree restores onto the current default
+    device (topology-FREE: the target is rebuilt from the checkpoint's own
+    shape/dtype metadata with a SingleDeviceSharding, so a checkpoint
+    written on an N-device mesh loads in a 1-device analysis process —
+    orbax's bare restore would demand the saving topology).  Returns the
+    payload dict with ``epoch``/``extra`` re-attached from the sidecar.
     """
     import json
 
@@ -305,10 +318,14 @@ def load_checkpoint_sharded(
         epoch = epochs[-1]
     path = os.path.abspath(sharded_checkpoint_path(directory, epoch))
     ckptr = ocp.StandardCheckpointer()
-    payload = (
-        ckptr.restore(path, target) if target is not None
-        else ckptr.restore(path)
-    )
+    if target is None:
+        meta = ckptr.metadata(path).item_metadata.tree
+        sds = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+        target = jax.tree_util.tree_map(
+            lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype, sharding=sds),
+            meta,
+        )
+    payload = ckptr.restore(path, target)
     meta_path = path + ".meta.json"
     if os.path.exists(meta_path):
         with open(meta_path) as f:

@@ -138,6 +138,38 @@ def test_trainer_writes_sharded_checkpoint_under_mesh(test_config):
     assert leaves and all(np.isfinite(np.asarray(l)).all() for l in leaves)
 
 
+def test_msgpack_api_reads_sharded_checkpoints(tmp_path, mesh_state):
+    """Format transparency: the discovery/load functions every analysis CLI
+    uses (available_epochs / latest_epoch / load_checkpoint) see and read
+    orbax checkpoints — a --checkpoint_sharded training run is analyzable
+    without conversion."""
+    from distillation_trajectories_tpu.training import (
+        available_epochs,
+        latest_epoch,
+        load_checkpoint,
+        save_checkpoint,
+        save_checkpoint_sharded,
+        variables_from_checkpoint,
+    )
+
+    state, _ = mesh_state
+    d = str(tmp_path / "mixed")
+    save_checkpoint_sharded(d, 2, state.params,
+                            batch_stats=state.batch_stats)
+    assert available_epochs(d) == [2]
+    assert latest_epoch(d) == 2
+    payload = load_checkpoint(d)  # falls through to the orbax lane
+    assert payload["epoch"] == 2
+    variables = variables_from_checkpoint(payload)
+    assert set(variables) == {"params", "batch_stats"}
+    # A msgpack file of the SAME epoch wins (reference-parity contract
+    # first), and mixed-format directories list each epoch once.
+    save_checkpoint(d, 2, state.params)
+    save_checkpoint(d, 5, state.params)
+    assert available_epochs(d) == [2, 5]
+    assert "batch_stats" not in load_checkpoint(d, 2)  # the msgpack one
+
+
 def test_sharded_latest_and_missing(tmp_path):
     from distillation_trajectories_tpu.training import (
         available_epochs_sharded,
