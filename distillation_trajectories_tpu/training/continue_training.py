@@ -18,7 +18,12 @@ from ..data import get_data_loader
 from ..diffusion import get_diffusion_params
 from ..models import make_unet
 from ..parallel import mesh_from_config, shard_train_state
-from .checkpoints import AsyncCheckpointWriter, load_checkpoint, save_checkpoint
+from .checkpoints import (
+    AsyncCheckpointWriter,
+    load_checkpoint,
+    save_checkpoint,
+    save_checkpoint_sharded,
+)
 from .loop import run_train_epoch
 from .state import (
     TrainState,
@@ -113,13 +118,23 @@ def continue_training(config, start_epoch: int, seed: int = 0, log_every: int = 
             f"{avg_loss:.5f} ({time.time() - t0:.1f}s)"
         )
         if (epoch + 1) % config.save_interval == 0 or i == config.epochs - 1:
-            ckpt_writer.save(
-                config.teacher_models_dir,
-                epoch + 1,
-                state.params,
-                batch_stats=state.batch_stats,
-                opt_state=state.opt_state,
-            )
+            if config.checkpoint_sharded:
+                # Pod-scale lane (see teacher.py): per-device shard writes.
+                save_checkpoint_sharded(
+                    config.teacher_models_dir,
+                    epoch + 1,
+                    state.params,
+                    batch_stats=state.batch_stats,
+                    opt_state=state.opt_state,
+                )
+            else:
+                ckpt_writer.save(
+                    config.teacher_models_dir,
+                    epoch + 1,
+                    state.params,
+                    batch_stats=state.batch_stats,
+                    opt_state=state.opt_state,
+                )
             key, sample_key = jax.random.split(key)
             if grid_jit is not None:
                 from ..utils.viz import save_image_grid

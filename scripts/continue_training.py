@@ -27,6 +27,10 @@ def main():
                         help="Override the output root directory")
     parser.add_argument("--limit_batches", type=int, default=None,
                         help="Cap batches per epoch (smoke runs)")
+    parser.add_argument("--checkpoint_sharded", action="store_true",
+                        help="Save checkpoints through the sharding-"
+                        "preserving orbax lane (pod-scale; pairs with "
+                        "--mesh). Default stays the msgpack contract.")
     parser.add_argument("--num_samples", type=int, default=None,
                         help="Samples in the per-save-interval grid "
                         "(0 skips grid generation)")
@@ -48,6 +52,8 @@ def main():
     if args.image_size is not None:
         config.image_size = args.image_size
     apply_mesh_arg(config, args)
+    if args.checkpoint_sharded:
+        config.checkpoint_sharded = True
     if args.limit_batches is not None:
         config.limit_batches_per_epoch = args.limit_batches
     if args.num_samples is not None:
