@@ -58,14 +58,19 @@ def test_stage_timeout_kills_grandchildren(rr, tmp_path, monkeypatch):
     child_src = (
         "import subprocess, sys, time\n"
         "p = subprocess.Popen([sys.executable, '-c',"
-        " 'import time; time.sleep(60)'])\n"
+        " 'import time; time.sleep(120)'])\n"
         "print(p.pid, flush=True)\n"
-        "time.sleep(60)\n"
+        "time.sleep(120)\n"
     )
+    # Timeout must outlive the child interpreter's startup (seconds on a
+    # loaded 1-core host): the grandchild pid has to hit the log BEFORE the
+    # stage timeout kills the group, or there is nothing to assert against.
     assert rr._stage("orphan", [sys.executable, "-c", child_src],
-                     "t", timeout=2.0) is False
+                     "t", timeout=25.0) is False
     log = tmp_path / "output" / "results" / "record_t_orphan.log"
-    grandchild_pid = int(log.read_text().strip().splitlines()[0])
+    pid_lines = log.read_text().strip().splitlines()
+    assert pid_lines, "child never started within the stage timeout"
+    grandchild_pid = int(pid_lines[0])
     def _alive(pid):
         # A SIGKILLed grandchild may linger as a zombie until init reaps
         # it; os.kill(pid, 0) still succeeds then — check the state field.
