@@ -43,7 +43,7 @@ import optax
 
 from ..diffusion import get_diffusion_params
 from ..diffusion.process import q_sample
-from .checkpoints import AsyncCheckpointWriter
+from .checkpoints import AsyncCheckpointWriter, save_checkpoint_sharded
 from .state import (
     TrainState,
     _train_apply,
@@ -337,15 +337,27 @@ def progressive_distill(
                         "progressive" if guidance_range is None
                         else "progressive_cfg"
                     )
-                    writer.save(
-                        os.path.join(
-                            config.models_dir, ckpt_family, f"steps_{next_steps}"
-                        ),
-                        epoch + 1,
-                        state.params,
-                        batch_stats=state.batch_stats,
-                        opt_state=state.opt_state,
+                    ckpt_dir = os.path.join(
+                        config.models_dir, ckpt_family, f"steps_{next_steps}"
                     )
+                    if getattr(config, "checkpoint_sharded", False):
+                        # Pod-scale lane (see teacher.py): per-device
+                        # shard writes, no host gather.
+                        save_checkpoint_sharded(
+                            ckpt_dir,
+                            epoch + 1,
+                            state.params,
+                            batch_stats=state.batch_stats,
+                            opt_state=state.opt_state,
+                        )
+                    else:
+                        writer.save(
+                            ckpt_dir,
+                            epoch + 1,
+                            state.params,
+                            batch_stats=state.batch_stats,
+                            opt_state=state.opt_state,
+                        )
             cur_vars = {
                 "params": state.params, "batch_stats": state.batch_stats
             }
