@@ -143,6 +143,11 @@ class Config:
     # Pallas kernel (ops/cfg_update.py) instead of jnp ops.  Off by default;
     # measured on-chip numbers in PERFORMANCE.md decide whether it stays.
     pallas_cfg_update: bool = False
+    # Quantized-inference lane for the trajectory samplers: "none" (default,
+    # reference-parity numerics) or "int8" — fold eval BatchNorm into the
+    # Block convs and run them int8×int8→int32 on the MXU (2× bf16 peak on
+    # v5e).  Inference-only; training is untouched.  models/quantized.py.
+    sampler_quant: str = "none"
     # Parallel-in-time trajectory generation (diffusion/parallel_sampling.py):
     # "off" = sequential scan (default, reference-exact), "window" =
     # sliding-window ParaDiGMS (latency-oriented, B=1;

@@ -43,6 +43,20 @@ def _store_dtype(config):
     return None
 
 
+def _eval_fn(model, variables, config):
+    """``make_eval_model_fn`` or its int8 quantized drop-in.
+
+    ``Config.sampler_quant="int8"`` routes the sampler forwards through the
+    folded/quantized U-Net (models/quantized.py) — call only in a traced
+    context so the fold/quant ops stay inside the sampler's jitted graph.
+    """
+    if config is not None and getattr(config, "sampler_quant", "none") == "int8":
+        from ..models.quantized import make_quantized_eval_fn
+
+        return make_quantized_eval_fn(model, variables)
+    return make_eval_model_fn(model, variables)
+
+
 def generate_trajectory(
     model,
     variables,
@@ -63,7 +77,7 @@ def generate_trajectory(
     ParaDiGMS sampler (latency-oriented; see PERFORMANCE.md for measured
     speed/accuracy at each window/tol).
     """
-    model_fn = make_eval_model_fn(model, variables)
+    model_fn = _eval_fn(model, variables, config)
     dp = get_diffusion_params(timesteps, config)
     if config is not None and getattr(config, "parallel_sampling", "off") == "window":
         from ..diffusion.parallel_sampling import sliding_window_trajectory
@@ -121,8 +135,8 @@ def make_paired_trajectory_fn(
 
     def batched(variables, noises, seeds, gs):
         t_vars, s_vars = variables
-        t_fn = make_eval_model_fn(teacher_model, t_vars)
-        s_fn = make_eval_model_fn(student_model, s_vars)
+        t_fn = _eval_fn(teacher_model, t_vars, config)
+        s_fn = _eval_fn(student_model, s_vars, config)
 
         def one_sample(noise_hwc, seed):
             noise = noise_hwc[None]  # model batch dim
@@ -166,7 +180,7 @@ def make_batch_trajectory_fn(
     alphas = dp["alphas"]
 
     def batched(vars_, noises, seeds, gs):
-        model_fn = make_eval_model_fn(model, vars_)
+        model_fn = _eval_fn(model, vars_, config)
 
         def one_sample(noise_hwc, seed):
             traj = generate_trajectory_scan(
@@ -203,7 +217,7 @@ def make_sweep_trajectory_fn(model, variables, timesteps: int, config=None):
     alphas = dp["alphas"]
 
     def batched(vars_, noises, seeds, cond_pairs, gs):
-        model_fn = make_eval_model_fn(model, vars_)
+        model_fn = _eval_fn(model, vars_, config)
         return generate_trajectory_batch_scan(
             model_fn,
             noises,

@@ -1,0 +1,148 @@
+"""int8 quantized-inference lane (models/quantized.py).
+
+Exactness strategy: the quantized forward re-implements the U-Net eval
+topology, so the risk is the two implementations drifting apart.  The
+fold-only float twin (``nbits=None``) pins the re-implementation + BN
+folding against ``model.apply`` to float tolerance; the int8 path is then
+only the quantization error on top.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from distillation_trajectories_tpu.config import Config
+from distillation_trajectories_tpu.models.quantized import (
+    make_quantized_eval_fn,
+    quantize_unet_variables,
+    quantized_unet_apply,
+)
+from distillation_trajectories_tpu.models.unet import init_unet, make_unet
+
+
+def _tiny_config(**kw):
+    return Config(
+        dataset="MNIST",
+        image_size=16,
+        channels=1,
+        timesteps=6,
+        compute_dtype="float32",
+        dropout=0.3,  # must be inert at eval regardless of value
+        **kw,
+    )
+
+
+def _model_and_vars(config, size_factor=0.1, seed=0, **model_kw):
+    model = make_unet(config, size_factor=size_factor)
+    if model_kw:
+        model = model.clone(**model_kw)
+    variables = jax.device_get(init_unet(model, config, jax.random.PRNGKey(seed)))
+    # Non-trivial BN running stats: init gives mean=0/var=1, which would let
+    # a broken fold pass the parity test trivially.
+    rng = np.random.RandomState(seed + 1)
+    bs = variables["batch_stats"]
+    for blk in bs.values():
+        for nrm in blk.values():
+            nrm["mean"] = rng.normal(0.0, 0.3, nrm["mean"].shape).astype(np.float32)
+            nrm["var"] = (0.5 + rng.rand(*nrm["var"].shape)).astype(np.float32)
+    return model, variables
+
+
+def _inputs(config, b=2, seed=3):
+    k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
+    x = jax.random.normal(k1, (b, config.image_size, config.image_size, config.channels))
+    t = jnp.array([1.0, 4.0][:b])
+    cond = jax.random.uniform(k2, (b, 1))
+    mask = jnp.ones((b, 1))
+    return x, t, cond, mask
+
+
+@pytest.mark.parametrize("full_res_head", [False, True])
+def test_fold_only_matches_float(full_res_head):
+    """BN folding + the re-implemented forward == model.apply exactly-ish."""
+    config = _tiny_config()
+    model, variables = _model_and_vars(config, full_res_head=full_res_head)
+    x, t, cond, mask = _inputs(config)
+    qvars = quantize_unet_variables(model, variables, nbits=None)
+
+    ref = model.apply(variables, x, t, cond=cond, cond_mask=mask, train=False)
+    got = quantized_unet_apply(model, qvars, x, t, cond, mask)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+    # cond=None branch (mask-0 semantics)
+    ref0 = model.apply(variables, x, t, cond=None, train=False)
+    got0 = quantized_unet_apply(model, qvars, x, t, None, None)
+    np.testing.assert_allclose(np.asarray(got0), np.asarray(ref0), rtol=1e-4, atol=1e-4)
+
+
+def test_int8_forward_close_to_float():
+    config = _tiny_config()
+    model, variables = _model_and_vars(config)
+    x, t, cond, mask = _inputs(config)
+    ref = np.asarray(model.apply(variables, x, t, cond=cond, cond_mask=mask, train=False))
+    got = np.asarray(make_quantized_eval_fn(model, variables)(x, t, cond, mask))
+    assert got.dtype == np.float32 and got.shape == ref.shape
+    rel = np.linalg.norm(got - ref) / (np.linalg.norm(ref) + 1e-12)
+    assert np.isfinite(got).all()
+    assert rel < 0.15, f"int8 relative error {rel:.3f}"
+
+
+def test_int8_trajectory_close_to_float():
+    from distillation_trajectories_tpu.trajectories.engine import generate_trajectory
+
+    config = _tiny_config()
+    model, variables = _model_and_vars(config)
+    noise = jax.random.normal(jax.random.PRNGKey(7), (1, 16, 16, 1))
+    f = generate_trajectory(model, variables, noise, config.timesteps,
+                            seed=5, guidance_scale=3.0, config=config)
+    q = generate_trajectory(
+        model, variables, noise, config.timesteps, seed=5, guidance_scale=3.0,
+        config=dataclasses.replace(config, sampler_quant="int8"),
+    )
+    assert q.shape == f.shape
+    qe, fe = np.asarray(q[-1]), np.asarray(f[-1])
+    assert np.isfinite(qe).all()
+    rel = np.linalg.norm(qe - fe) / (np.linalg.norm(fe) + 1e-12)
+    assert rel < 0.5, f"endpoint drift {rel:.3f}"
+    # identical per-step noise: the first stored entry is the shared init
+    np.testing.assert_array_equal(np.asarray(q[0]), np.asarray(f[0]))
+
+
+def test_sweep_fn_int8_runs():
+    from distillation_trajectories_tpu.diffusion.sampling import CFG_COND_PAIRS
+    from distillation_trajectories_tpu.trajectories.engine import (
+        make_sweep_trajectory_fn,
+    )
+
+    config = _tiny_config(sampler_quant="int8")
+    model, variables = _model_and_vars(config)
+    fn = make_sweep_trajectory_fn(model, variables, config.timesteps, config)
+    noises = jax.random.normal(jax.random.PRNGKey(9), (2, 16, 16, 1))
+    seeds = jnp.array([0, 1], dtype=jnp.int32)
+    trajs = fn(noises, seeds, jnp.asarray(CFG_COND_PAIRS), jnp.float32(3.0))
+    assert trajs.shape == (2, config.timesteps + 1, 16, 16, 1)
+    assert np.isfinite(np.asarray(trajs)).all()
+
+
+def test_group_norm_rejected():
+    config = _tiny_config()
+    model, variables = _model_and_vars(config)
+    with pytest.raises(ValueError, match="norm='batch'"):
+        quantize_unet_variables(model.clone(norm="group"), variables)
+
+
+def test_int8_tree_dtypes():
+    config = _tiny_config()
+    model, variables = _model_and_vars(config)
+    q = jax.device_get(quantize_unet_variables(model, variables))
+    blk = q["blocks"]["enc2"]  # has a residual projection (16 -> 32)
+    assert blk["conv1"]["w_int8"].dtype == np.int8
+    assert blk["conv2"]["w_int8"].dtype == np.int8
+    assert "residual" in blk
+    assert blk["residual"]["w_int8"].dtype == np.int8
+    assert blk["conv1"]["scale"].dtype == np.float32
+    # enc3 -> enc4 keep the same channel count at this size: no projection
+    assert "residual" not in q["blocks"]["enc4"]
