@@ -63,13 +63,23 @@ def _engine_c(alpha_t, alpha_prev):
     return c1, c2
 
 
-def make_guided_eval_fn(model, variables, guidance_value: float):
+def make_guided_eval_fn(model, variables, guidance_value: float,
+                        quant: Optional[str] = None):
     """Eval-mode model fn for a w-CONDITIONED student: ignores the sampler's
     (cond, cond_mask) inputs and feeds ``cond=w, mask=1`` so
     ``generate_trajectory_scan(..., guidance_scale=None)`` runs the guided
     map in a SINGLE forward per step — the student's replacement for the
-    teacher's two-forward CFG combine at scale w."""
-    base = make_eval_model_fn(model, variables)
+    teacher's two-forward CFG combine at scale w.
+
+    ``quant="int8"`` composes the two throughput axes: the fewer-forwards
+    win of the w-conditioned student times the int8-MXU win of the
+    quantized forward (models/quantized.py)."""
+    if quant == "int8":
+        from ..models.quantized import make_quantized_eval_fn
+
+        base = make_quantized_eval_fn(model, variables)
+    else:
+        base = make_eval_model_fn(model, variables)
 
     def fn(x, t, cond, cond_mask):
         b = x.shape[0]

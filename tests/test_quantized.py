@@ -146,3 +146,45 @@ def test_int8_tree_dtypes():
     assert blk["conv1"]["scale"].dtype == np.float32
     # enc3 -> enc4 keep the same channel count at this size: no projection
     assert "residual" not in q["blocks"]["enc4"]
+
+
+def test_guided_eval_fn_composes_with_int8():
+    """The w-conditioned single-forward student path accepts quant='int8'."""
+    from distillation_trajectories_tpu.training.progressive import (
+        make_guided_eval_fn,
+    )
+
+    config = _tiny_config()
+    model, variables = _model_and_vars(config)
+    x, t, _, _ = _inputs(config)
+    ref = np.asarray(make_guided_eval_fn(model, variables, 3.0)(x, t, None, None))
+    got = np.asarray(
+        make_guided_eval_fn(model, variables, 3.0, quant="int8")(x, t, None, None)
+    )
+    rel = np.linalg.norm(got - ref) / (np.linalg.norm(ref) + 1e-12)
+    assert np.isfinite(got).all() and rel < 0.15
+
+
+def test_sweep_fn_int8_on_mesh():
+    """int8 sampler under an SPMD batch sharding: the dynamic activation-max
+    reductions become cross-device collectives — GSPMD must handle them."""
+    from distillation_trajectories_tpu.diffusion.sampling import CFG_COND_PAIRS
+    from distillation_trajectories_tpu.parallel.mesh import (
+        batch_sharding,
+        make_mesh,
+    )
+    from distillation_trajectories_tpu.trajectories.engine import (
+        make_sweep_trajectory_fn,
+    )
+
+    config = _tiny_config(sampler_quant="int8")
+    model, variables = _model_and_vars(config)
+    fn = make_sweep_trajectory_fn(model, variables, config.timesteps, config)
+    noises = jax.random.normal(jax.random.PRNGKey(9), (8, 16, 16, 1))
+    seeds = jnp.arange(8, dtype=jnp.int32)
+    ref = np.asarray(fn(noises, seeds, jnp.asarray(CFG_COND_PAIRS), jnp.float32(3.0)))
+
+    mesh = make_mesh((4, 2))
+    sharded = jax.device_put(noises, batch_sharding(mesh))
+    got = np.asarray(fn(sharded, seeds, jnp.asarray(CFG_COND_PAIRS), jnp.float32(3.0)))
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
