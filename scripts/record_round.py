@@ -108,6 +108,9 @@ def main():
     parser.add_argument("--sweep_args", type=str, default="",
                         help="extra args for run_full_sweep.py, e.g. "
                         "'--skip-training'")
+    parser.add_argument("--with_quant", action="store_true",
+                        help="append the int8-sampler A/B stage "
+                        "(scripts/bench_quant.py -> BENCH_QUANT_{tag}.json)")
     args = parser.parse_args()
     py = sys.executable
 
@@ -143,6 +146,16 @@ def main():
              "--w_sweep", "1.0,2.0,3.0,5.0,7.5", "--fid_samples", "128",
              "--record_tag", args.tag],
             args.tag, timeout=5400)
+    if args.with_quant:
+        _wait_healthy()
+        # Two full sampler compiles (float + int8, ~5-6 min each over the
+        # tunnel) + three measured chains; the script's own watchdogs
+        # convert dropped RPCs into loud exits well inside this.
+        results["quant"] = _stage(
+            "quant",
+            [py, "-u", "scripts/bench_quant.py", "--use_checkpoint",
+             "--record_tag", args.tag],
+            args.tag, timeout=3600)
     print(f"[record] DONE {json.dumps(results)}", flush=True)
     sys.exit(0 if all(results.values()) else 1)
 
