@@ -188,3 +188,25 @@ def test_sweep_fn_int8_on_mesh():
     sharded = jax.device_put(noises, batch_sharding(mesh))
     got = np.asarray(fn(sharded, seeds, jnp.asarray(CFG_COND_PAIRS), jnp.float32(3.0)))
     np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.slow
+def test_bench_quant_cli_contract(tmp_path, monkeypatch):
+    """scripts/bench_quant.py end-to-end on CPU: JSON record contract."""
+    import json
+    import runpy
+    import sys
+
+    out = tmp_path / "bench_quant.json"
+    monkeypatch.setattr(sys, "argv", [
+        "bench_quant.py", "--batch", "2", "--timesteps", "4", "--iters", "1",
+        "--size_factor", "0.05", "--out", str(out),
+    ])
+    monkeypatch.syspath_prepend("scripts")
+    runpy.run_path("scripts/bench_quant.py", run_name="__main__")
+    rec = json.loads(out.read_text())
+    for key in ("float_traj_per_s", "int8_traj_per_s", "speedup",
+                "endpoint_rel_l2", "weights", "preflight"):
+        assert key in rec, key
+    assert rec["weights"] == "random-init"
+    assert rec["endpoint_rel_l2"] < 0.05
