@@ -16,3 +16,8 @@ from .torch_port import (
     infer_size_factor,
     unet_variables_from_torch_state_dict,
 )
+from .quantized import (
+    make_quantized_eval_fn,
+    quantize_unet_variables,
+    quantized_unet_apply,
+)

@@ -210,3 +210,16 @@ def test_bench_quant_cli_contract(tmp_path, monkeypatch):
         assert key in rec, key
     assert rec["weights"] == "random-init"
     assert rec["endpoint_rel_l2"] < 0.05
+
+
+def test_int8_forward_bf16_model():
+    """Default compute_dtype is bfloat16 — the quant lane must hold there."""
+    config = _tiny_config()
+    config = dataclasses.replace(config, compute_dtype="bfloat16")
+    model, variables = _model_and_vars(config)
+    x, t, cond, mask = _inputs(config)
+    ref = np.asarray(model.apply(variables, x, t, cond=cond, cond_mask=mask,
+                                 train=False))
+    got = np.asarray(make_quantized_eval_fn(model, variables)(x, t, cond, mask))
+    rel = np.linalg.norm(got - ref) / (np.linalg.norm(ref) + 1e-12)
+    assert np.isfinite(got).all() and rel < 0.15
