@@ -99,6 +99,41 @@ def _stage(name: str, cmd: list, tag: str, timeout: float) -> bool:
     return rc == 0
 
 
+def _commit_artifacts(tag: str, results: dict) -> None:
+    """Commit the per-round measured artifacts so a pipeline that finishes
+    after the interactive session ends still lands durable results (the
+    stages run for hours once the tunnel recovers; nobody may be around
+    when they complete)."""
+    candidates = [
+        f"SWEEP_{tag}.json",
+        f"BENCH_PROG_{tag}.json",
+        f"BENCH_QUANT_{tag}.json",
+        ".bench_ledger.jsonl",
+    ]
+    present = [p for p in candidates
+               if os.path.exists(os.path.join(project_root, p))]
+    if not present:
+        print("[record] no artifact files to commit", flush=True)
+        return
+    try:
+        subprocess.run(["git", "add", "--"] + present, cwd=project_root,
+                       check=True, timeout=60)
+        diff = subprocess.run(["git", "diff", "--cached", "--quiet"],
+                              cwd=project_root, timeout=60)
+        if diff.returncode == 0:
+            print("[record] artifacts unchanged; nothing to commit",
+                  flush=True)
+            return
+        ok = [k for k, v in results.items() if v]
+        msg = (f"Record {tag} measured artifacts "
+               f"({', '.join(ok) if ok else 'no stage ok'})")
+        subprocess.run(["git", "commit", "-m", msg], cwd=project_root,
+                       check=True, timeout=60)
+        print(f"[record] committed: {msg}", flush=True)
+    except Exception as e:  # never let bookkeeping kill the pipeline exit
+        print(f"[record] artifact commit failed: {e}", flush=True)
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--tag", type=str, required=True, help="e.g. r05")
@@ -108,6 +143,8 @@ def main():
     parser.add_argument("--sweep_args", type=str, default="",
                         help="extra args for run_full_sweep.py, e.g. "
                         "'--skip-training'")
+    parser.add_argument("--no_git_commit", action="store_true",
+                        help="skip the end-of-pipeline artifact commit")
     parser.add_argument("--with_quant", action="store_true",
                         help="append the int8-sampler A/B stage "
                         "(scripts/bench_quant.py -> BENCH_QUANT_{tag}.json)")
@@ -156,6 +193,8 @@ def main():
             [py, "-u", "scripts/bench_quant.py", "--use_checkpoint",
              "--record_tag", args.tag],
             args.tag, timeout=3600)
+    if not args.no_git_commit:
+        _commit_artifacts(args.tag, results)
     print(f"[record] DONE {json.dumps(results)}", flush=True)
     sys.exit(0 if all(results.values()) else 1)
 

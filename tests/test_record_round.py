@@ -110,3 +110,34 @@ def test_wait_healthy_requires_streak(rr, monkeypatch):
     monkeypatch.setattr(rr.time, "sleep", lambda s: None)
     rr._wait_healthy(require_streak=2)
     assert calls == ["down", "ok", "degraded", "ok", "ok"]
+
+
+def test_commit_artifacts_in_temp_repo(rr, tmp_path, monkeypatch):
+    """The end-of-pipeline commit makes measured artifacts durable even when
+    the stages finish after the interactive session ends."""
+    import subprocess
+
+    repo = tmp_path / "repo"
+    repo.mkdir()
+    subprocess.run(["git", "init", "-q"], cwd=repo, check=True)
+    subprocess.run(["git", "config", "user.email", "t@t"], cwd=repo,
+                   check=True)
+    subprocess.run(["git", "config", "user.name", "t"], cwd=repo, check=True)
+    monkeypatch.setattr(rr, "project_root", str(repo))
+
+    # Nothing present -> no commit, no crash.
+    rr._commit_artifacts("tX", {"bench": True})
+
+    (repo / "SWEEP_tX.json").write_text('{"ok": true}')
+    (repo / ".bench_ledger.jsonl").write_text('{"value": 1}\n')
+    rr._commit_artifacts("tX", {"bench": True, "sweep": False})
+    log = subprocess.run(["git", "log", "--oneline", "--name-only"],
+                         cwd=repo, capture_output=True, text=True).stdout
+    assert "Record tX measured artifacts (bench)" in log
+    assert "SWEEP_tX.json" in log and ".bench_ledger.jsonl" in log
+
+    # Unchanged artifacts -> second call is a no-op (still exactly 1 commit).
+    rr._commit_artifacts("tX", {"bench": True})
+    n = subprocess.run(["git", "rev-list", "--count", "HEAD"], cwd=repo,
+                       capture_output=True, text=True).stdout.strip()
+    assert n == "1"
