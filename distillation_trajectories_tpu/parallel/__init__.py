@@ -17,4 +17,11 @@ from .mesh import (
     shard_batch,
 )
 from .distributed import initialize_distributed, make_global_mesh
+from .spatial import (
+    SPATIAL_AXIS,
+    make_spatial_mesh,
+    spatial_batch_sharding,
+    shard_batch_spatial,
+    make_spatial_eval_fn,
+)
 from .sweep import distill_students_parallel

@@ -7,10 +7,12 @@ annotations on params/batches, and XLA GSPMD inserting the collectives over
 ICI.  No hand-rolled communication backend.
 
 Applicability note: this model family is a small conv U-Net on ≤32×32 images
-— pipeline, sequence, and expert parallelism have no natural axis here (no
-layers to stage at this scale, no sequence dimension, no experts).  The
-meaningful axes are data (batch × trajectory samples × the 11-student sweep)
-and tensor (conv channels), which is what this module implements.
+— pipeline and expert parallelism have no natural axis here (no layers to
+stage at this scale, no experts).  The meaningful axes are data (batch ×
+trajectory samples × the 11-student sweep) and tensor (conv channels), which
+is what this module implements; the conv analog of sequence parallelism —
+sharding the image-H axis with GSPMD halo exchange, for images too large for
+one chip — lives in parallel/spatial.py.
 """
 
 from __future__ import annotations

@@ -1,0 +1,111 @@
+"""Spatial (image-H) partitioning lane on the virtual 8-device CPU mesh.
+
+Parity contract: the spatially-sharded eval forward and the sharded
+trajectory scan must equal their unsharded counterparts — GSPMD halo
+exchange is a layout decision, never a semantics change.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from distillation_trajectories_tpu.models import make_unet, init_unet
+from distillation_trajectories_tpu.parallel import (
+    DATA_AXIS,
+    SPATIAL_AXIS,
+    make_spatial_mesh,
+    make_spatial_eval_fn,
+    shard_batch_spatial,
+)
+from distillation_trajectories_tpu.training import make_eval_model_fn
+
+
+def _model_and_batch(test_config, rng_seed=0):
+    model = make_unet(test_config, size_factor=0.1)
+    variables = init_unet(model, test_config, jax.random.PRNGKey(0))
+    x = np.random.default_rng(rng_seed).standard_normal(
+        (4, 16, 16, 1)).astype(np.float32)
+    return model, variables, x
+
+
+def test_shard_batch_spatial_layout_and_guards(test_config):
+    mesh = make_spatial_mesh((2, 4))
+    _, _, x = _model_and_batch(test_config)
+    xs = shard_batch_spatial(x, mesh)
+    assert xs.sharding.spec == P(DATA_AXIS, SPATIAL_AXIS, None, None)
+    np.testing.assert_array_equal(np.asarray(xs), x)
+    with pytest.raises(ValueError, match="height"):
+        shard_batch_spatial(x[:, :15], mesh)
+    with pytest.raises(ValueError, match="batch"):
+        shard_batch_spatial(x[:3], mesh)
+    with pytest.raises(ValueError, match="NHWC"):
+        shard_batch_spatial(x[0], mesh)
+
+
+def test_spatial_forward_matches_unsharded(test_config):
+    """4-way H-sharded eval forward == unsharded apply; output stays
+    spatially sharded (no trailing all-gather)."""
+    mesh = make_spatial_mesh((2, 4))
+    model, variables, x = _model_and_batch(test_config)
+    t = jnp.full((4,), 3.0)
+    cond = jnp.ones((4, 1))
+    mask = jnp.ones((4, 1))
+
+    fwd = jax.jit(make_spatial_eval_fn(model, variables, mesh))
+    out = fwd(shard_batch_spatial(x, mesh), t, cond, mask)
+    out.block_until_ready()
+    assert out.sharding.spec == P(DATA_AXIS, SPATIAL_AXIS, None, None)
+
+    ref = make_eval_model_fn(model, variables)(jnp.asarray(x), t, cond, mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_spatial_trajectory_scan_matches_unsharded(test_config):
+    """The flagship sampler with the chain spatially sharded: the scan
+    carry keeps the (data, spatial) layout step to step and the full
+    [T+1,B,H,W,C] trajectory equals the unsharded run."""
+    from distillation_trajectories_tpu.diffusion import (
+        generate_trajectory_scan,
+        get_diffusion_params,
+    )
+
+    mesh = make_spatial_mesh((2, 4))
+    model, variables, x = _model_and_batch(test_config, rng_seed=1)
+    dp = get_diffusion_params(test_config.timesteps, test_config)
+
+    model_fn = make_spatial_eval_fn(model, variables, mesh)
+    traj = jax.jit(
+        lambda n: generate_trajectory_scan(
+            model_fn, n, test_config.timesteps, dp["alphas"], 0,
+            guidance_scale=3.0,
+        )
+    )(shard_batch_spatial(x, mesh))
+    traj.block_until_ready()
+    # Stacked trajectory: H is axis 3 of [T+1, B, H, W, C].
+    assert traj.sharding.spec[1:3] == (DATA_AXIS, SPATIAL_AXIS)
+
+    ref = generate_trajectory_scan(
+        make_eval_model_fn(model, variables), jnp.asarray(x),
+        test_config.timesteps, dp["alphas"], 0, guidance_scale=3.0,
+    )
+    np.testing.assert_allclose(np.asarray(traj), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_spatial_halo_exchange_in_hlo(test_config):
+    """The compiled forward communicates shard edges instead of gathering
+    whole activations: the HLO contains halo collectives and no full-H
+    all-gather of the input-sized activation."""
+    mesh = make_spatial_mesh((1, 4))
+    model, variables, _ = _model_and_batch(test_config)
+    t = jnp.full((4,), 3.0)
+
+    fwd = jax.jit(make_spatial_eval_fn(model, variables, mesh))
+    x = shard_batch_spatial(jnp.zeros((4, 16, 16, 1)), mesh)
+    hlo = fwd.lower(x, t, None, None).compile().as_text()
+    assert ("collective-permute" in hlo) or ("all-to-all" in hlo), (
+        "expected halo-exchange collectives in the partitioned HLO"
+    )
