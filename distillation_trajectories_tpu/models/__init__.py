@@ -17,6 +17,7 @@ from .torch_port import (
     unet_variables_from_torch_state_dict,
 )
 from .quantized import (
+    calibrate_activation_scales,
     make_quantized_eval_fn,
     quantize_unet_variables,
     quantized_unet_apply,

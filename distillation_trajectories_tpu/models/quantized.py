@@ -16,9 +16,22 @@ Scheme (inference-only, opt-in via ``Config.sampler_quant="int8"``):
 * **Weights**: per-output-channel symmetric int8 — ``s_w[o] =
   max|W[..,o]|/127``.  Per-channel scales cost one [O] multiply at dequant
   and keep the quantization error per channel instead of per layer.
-* **Activations**: dynamic per-tensor symmetric int8 — ``s_x = max|x|/127``
-  computed on the fly.  One reduction per conv, negligible next to the conv
-  itself; avoids any calibration dataset.
+* **Activations**: per-tensor symmetric int8.  Two modes:
+
+  - *dynamic* (default) — ``s_x = max|x|/127`` computed on the fly.  No
+    calibration data needed, but the full-tensor max-reduction before EACH
+    conv cannot fuse into it (an extra activation read + a serialization
+    point per conv — round-4's measured 1.18× vs the 2× MXU premise made
+    these reductions suspect #1).
+  - *static* — scales calibrated once per checkpoint
+    (:func:`calibrate_activation_scales` records max|x| at every quant site
+    over calibration batches) ride as host-float constants, removing every
+    per-conv reduction from the sampler graph.
+
+* **Mixed precision** — ``quant_blocks`` restricts int8 to a subset of
+  Blocks; the rest run the folded-float (model-dtype) path.  The deep 4×4 /
+  2×2 levels are latency- not FLOP-bound, so quantizing them buys nothing
+  and costs requant overhead.
 * Conv arithmetic is ``int8 × int8 → int32`` (``preferred_element_type``),
   dequantized as ``int32 · (s_x · s_w[o]) + b_folded[o]``.  int32
   accumulation is exact (max |acc| ≤ 127²·9·C_in ≪ 2³¹).
@@ -72,13 +85,18 @@ def _quant_weight(w: jnp.ndarray, nbits: Optional[int]):
 
 
 def quantize_unet_variables(
-    model: DiffusionUNet, variables: Dict[str, Any], nbits: Optional[int] = 8
+    model: DiffusionUNet,
+    variables: Dict[str, Any],
+    nbits: Optional[int] = 8,
+    quant_blocks: Optional[set] = None,
 ) -> Dict[str, Any]:
     """Fold eval-mode BatchNorm into the Block convs and quantize them.
 
     Pure/traceable — called inside the sampler jit so variables stay args.
     ``nbits=None`` returns the folded *float* tree (the exactness twin used
     by tests to pin this forward against ``model.apply``).
+    ``quant_blocks`` (a set of Block names) restricts quantization to those
+    Blocks, leaving the rest on the folded-float path (mixed precision).
     """
     if model.norm != "batch":
         raise ValueError(
@@ -97,6 +115,9 @@ def quantize_unet_variables(
     for name in _block_names(model):
         p = params[name]
         bs = batch_stats[name]
+        blk_nbits = (
+            nbits if quant_blocks is None or name in quant_blocks else None
+        )
         blk: Dict[str, Any] = {"time_mlp": p["time_mlp"]}
         for conv, norm in (("conv1", "norm1"), ("conv2", "norm2")):
             gamma = p[norm]["scale"].astype(jnp.float32)
@@ -106,30 +127,40 @@ def quantize_unet_variables(
             f = gamma * jax.lax.rsqrt(var + _BN_EPS)  # [O]
             w = p[conv]["kernel"].astype(jnp.float32) * f  # fold into kernel
             b = (p[conv]["bias"].astype(jnp.float32) - mean) * f + beta
-            q = _quant_weight(w, nbits)
+            q = _quant_weight(w, blk_nbits)
             q["bias"] = b
             blk[conv] = q
         if "residual_conv" in p:  # 1×1 projection, no BN to fold
-            q = _quant_weight(p["residual_conv"]["kernel"].astype(jnp.float32), nbits)
+            q = _quant_weight(
+                p["residual_conv"]["kernel"].astype(jnp.float32), blk_nbits)
             q["bias"] = p["residual_conv"]["bias"].astype(jnp.float32)
             blk["residual"] = q
         out["blocks"][name] = blk
     return out
 
 
-def _aquant(x: jnp.ndarray):
-    """Dynamic per-tensor symmetric int8 activation quantization."""
-    s = jnp.maximum(jnp.max(jnp.abs(x)).astype(jnp.float32) / 127.0, 1e-12)
+def _aquant(x: jnp.ndarray, static_scale: Optional[float] = None):
+    """Per-tensor symmetric int8 activation quantization.
+
+    ``static_scale`` (a host float from :func:`calibrate_activation_scales`)
+    skips the dynamic max-reduction — the scale becomes an inline constant
+    and the round/clip fuses into the preceding producer.
+    """
+    if static_scale is not None:
+        s = max(float(static_scale), 1e-12)
+    else:
+        s = jnp.maximum(jnp.max(jnp.abs(x)).astype(jnp.float32) / 127.0, 1e-12)
     xq = jnp.clip(jnp.round(x.astype(jnp.float32) / s), -127.0, 127.0)
     return xq.astype(jnp.int8), s
 
 
-def _qconv(q: Dict[str, Any], xq, s_x, padding) -> jnp.ndarray:
+def _qconv(q: Dict[str, Any], xq, s_x, padding, dtype=jnp.float32) -> jnp.ndarray:
     """int8×int8→int32 conv, dequantized to float32 (+ folded bias).
 
-    In the fold-only float twin (``nbits=None``) ``xq`` is the raw float
-    activation and ``s_x`` is None — a plain float conv over the folded
-    kernel, used by tests to pin this forward against ``model.apply``.
+    In the fold-only float path (``nbits=None`` globally, or a Block left
+    out of ``quant_blocks``) ``xq`` is the raw float activation and ``s_x``
+    is None — a plain ``dtype`` conv over the folded kernel; with a float32
+    model this is the exactness twin tests pin against ``model.apply``.
     """
     if "w_int8" in q:
         acc = jax.lax.conv_general_dilated(
@@ -143,8 +174,8 @@ def _qconv(q: Dict[str, Any], xq, s_x, padding) -> jnp.ndarray:
         out = acc.astype(jnp.float32) * (s_x * q["scale"])
     else:
         out = jax.lax.conv_general_dilated(
-            xq.astype(q["w"].dtype),
-            q["w"],
+            xq.astype(dtype),
+            q["w"].astype(dtype),
             (1, 1),
             padding,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
@@ -160,11 +191,28 @@ def _dense(p: Dict[str, Any], x: jnp.ndarray, dtype) -> jnp.ndarray:
     )
 
 
-def _qblock(blk: Dict[str, Any], x: jnp.ndarray, temb: jnp.ndarray, dtype):
-    """Quantized Block forward (models/unet.py::Block eval semantics)."""
+def _qblock(
+    blk: Dict[str, Any],
+    x: jnp.ndarray,
+    temb: jnp.ndarray,
+    dtype,
+    scales: Optional[Dict[str, float]] = None,
+    collect: Optional[Dict[str, jnp.ndarray]] = None,
+    name: str = "",
+):
+    """Quantized Block forward (models/unet.py::Block eval semantics).
+
+    ``scales``: optional static activation scales {"in": s, "mid": s} (host
+    floats).  ``collect``: when given, records max|activation| tracers at
+    both quant sites instead of relying on dynamic scales — the calibration
+    hook behind :func:`calibrate_activation_scales`.
+    """
     pad1 = ((1, 1), (1, 1))
     quant = "w_int8" in blk["conv1"]
-    xq, s_x = _aquant(x) if quant else (x, None)
+    if collect is not None:
+        collect[f"{name}:in"] = jnp.max(jnp.abs(x)).astype(jnp.float32)
+    s_in = scales.get("in") if scales else None
+    xq, s_x = _aquant(x, s_in) if quant else (x, None)
     if "residual" in blk:
         residual = _qconv(blk["residual"], xq, s_x, ((0, 0), (0, 0)))
     else:
@@ -173,7 +221,10 @@ def _qblock(blk: Dict[str, Any], x: jnp.ndarray, temb: jnp.ndarray, dtype):
     h = jax.nn.relu(_qconv(blk["conv1"], xq, s_x, pad1))
     t_bias = jax.nn.relu(_dense(blk["time_mlp"], temb, dtype)).astype(jnp.float32)
     h = h + t_bias[:, None, None, :]
-    hq, s_h = _aquant(h) if quant else (h, None)
+    if collect is not None:
+        collect[f"{name}:mid"] = jnp.max(jnp.abs(h)).astype(jnp.float32)
+    s_mid = scales.get("mid") if scales else None
+    hq, s_h = _aquant(h, s_mid) if quant else (h, None)
     h = jax.nn.relu(_qconv(blk["conv2"], hq, s_h, pad1))
     return (h + residual).astype(dtype)
 
@@ -185,6 +236,8 @@ def quantized_unet_apply(
     t: jnp.ndarray,
     cond: Optional[jnp.ndarray] = None,
     cond_mask: Optional[jnp.ndarray] = None,
+    act_scales: Optional[Dict[str, Dict[str, float]]] = None,
+    collect: Optional[Dict[str, jnp.ndarray]] = None,
 ) -> jnp.ndarray:
     """Eval-mode forward over a folded/quantized tree.
 
@@ -192,6 +245,12 @@ def quantized_unet_apply(
     dropout is identity, BN is folded away, topology (including the unused
     enc1 skip and the optional ``full_res_head`` dec0) is identical.  Kept
     in lockstep by tests/test_quantized.py::test_fold_only_matches_float.
+
+    ``act_scales``: static per-site activation scales
+    ``{block: {"in": s, "mid": s}}`` as HOST floats (inline constants — the
+    round-3 rule forbids closed-over DEVICE arrays, not host scalars).
+    ``collect``: calibration hook — a dict that receives max|activation|
+    tracers at every quant site (:func:`calibrate_activation_scales`).
     """
     dtype = model.dtype
     ted = model.time_emb_dim
@@ -223,21 +282,27 @@ def quantized_unet_apply(
         h, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
     )
 
-    x1 = _qblock(blocks["enc1"], x, temb, dtype)
-    x2 = _qblock(blocks["enc2"], pool(x1), temb, dtype)
-    x3 = _qblock(blocks["enc3"], pool(x2), temb, dtype)
-    x4 = _qblock(blocks["enc4"], pool(x3), temb, dtype)
-    h = _qblock(blocks["bottleneck"], pool(x4), temb, dtype)
+    def qb(name, h_in):
+        return _qblock(
+            blocks[name], h_in, temb, dtype,
+            scales=(act_scales or {}).get(name), collect=collect, name=name,
+        )
+
+    x1 = qb("enc1", x)
+    x2 = qb("enc2", pool(x1))
+    x3 = qb("enc3", pool(x2))
+    x4 = qb("enc4", pool(x3))
+    h = qb("bottleneck", pool(x4))
 
     h = upsample_bilinear_x2(h)
-    h = _qblock(blocks["dec3"], jnp.concatenate([h, x4], axis=-1), temb, dtype)
+    h = qb("dec3", jnp.concatenate([h, x4], axis=-1))
     h = upsample_bilinear_x2(h)
-    h = _qblock(blocks["dec2"], jnp.concatenate([h, x3], axis=-1), temb, dtype)
+    h = qb("dec2", jnp.concatenate([h, x3], axis=-1))
     h = upsample_bilinear_x2(h)
-    h = _qblock(blocks["dec1"], jnp.concatenate([h, x2], axis=-1), temb, dtype)
+    h = qb("dec1", jnp.concatenate([h, x2], axis=-1))
     h = upsample_bilinear_x2(h)
     if model.full_res_head:
-        h = _qblock(blocks["dec0"], jnp.concatenate([h, x1], axis=-1), temb, dtype)
+        h = qb("dec0", jnp.concatenate([h, x1], axis=-1))
 
     fin = qvars["final"]
     out = jax.lax.conv_general_dilated(
@@ -250,16 +315,74 @@ def quantized_unet_apply(
     return out.astype(jnp.float32)
 
 
-def make_quantized_eval_fn(model: DiffusionUNet, variables, nbits: Optional[int] = 8):
+def make_quantized_eval_fn(
+    model: DiffusionUNet,
+    variables,
+    nbits: Optional[int] = 8,
+    act_scales: Optional[Dict[str, Dict[str, float]]] = None,
+    quant_blocks: Optional[set] = None,
+):
     """Drop-in for ``make_eval_model_fn`` with int8 quantized Block convs.
 
     Must be called in a traced context (inside the sampler's jit): the fold
     + quantize become loop-invariant graph ops executed once per sampler
     call — variables remain jit arguments, never closure constants.
+
+    ``act_scales`` switches the activations to static calibrated scales
+    (host floats, see :func:`calibrate_activation_scales`); ``quant_blocks``
+    restricts int8 to that subset of Blocks (mixed precision).
     """
-    qvars = quantize_unet_variables(model, variables, nbits=nbits)
+    qvars = quantize_unet_variables(
+        model, variables, nbits=nbits, quant_blocks=quant_blocks)
 
     def model_fn(x, t, cond=None, cond_mask=None):
-        return quantized_unet_apply(model, qvars, x, t, cond, cond_mask)
+        return quantized_unet_apply(
+            model, qvars, x, t, cond, cond_mask, act_scales=act_scales)
 
     return model_fn
+
+
+def calibrate_activation_scales(
+    model: DiffusionUNet,
+    variables,
+    xs: jnp.ndarray,
+    ts: jnp.ndarray,
+    conds: Optional[jnp.ndarray] = None,
+    cond_masks: Optional[jnp.ndarray] = None,
+    margin: float = 1.0,
+) -> Dict[str, Dict[str, float]]:
+    """Calibrate static per-site activation scales on a batch set.
+
+    ``xs``/``ts`` (and optional ``conds``/``cond_masks``) carry a leading
+    calibration axis: for each entry the fold-only forward records
+    max|activation| at every quant site; the scale is the max over the set,
+    ``s = margin · max/127``, returned as HOST floats so they become inline
+    scalar constants of the sampler graph (no per-conv reductions, no
+    closed-over device arrays).  Calibrate on states that span the sampler's
+    t-range — activations grow toward the noisy end of the chain; values
+    above ``s·127`` at runtime clip.
+    """
+    import numpy as np
+
+    q_float = quantize_unet_variables(model, variables, nbits=None)
+
+    @jax.jit
+    def one(v_q, x, t, cond, mask):
+        rec: Dict[str, jnp.ndarray] = {}
+        quantized_unet_apply(model, v_q, x, t, cond, mask, collect=rec)
+        return rec
+
+    agg: Dict[str, float] = {}
+    n = xs.shape[0]
+    for i in range(n):
+        cond = None if conds is None else conds[i]
+        mask = None if cond_masks is None else cond_masks[i]
+        rec = jax.device_get(one(q_float, xs[i], ts[i], cond, mask))
+        for k, v in rec.items():
+            agg[k] = max(agg.get(k, 0.0), float(v))
+    scales: Dict[str, Dict[str, float]] = {}
+    for k, v in agg.items():
+        name, site = k.split(":")
+        scales.setdefault(name, {})[site] = float(
+            np.maximum(margin * v / 127.0, 1e-12))
+    return scales

@@ -23,5 +23,6 @@ from .spatial import (
     spatial_batch_sharding,
     shard_batch_spatial,
     make_spatial_eval_fn,
+    make_spatial_forward,
 )
 from .sweep import distill_students_parallel

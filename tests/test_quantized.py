@@ -223,3 +223,81 @@ def test_int8_forward_bf16_model():
     got = np.asarray(make_quantized_eval_fn(model, variables)(x, t, cond, mask))
     rel = np.linalg.norm(got - ref) / (np.linalg.norm(ref) + 1e-12)
     assert np.isfinite(got).all() and rel < 0.15
+
+
+def _calibrated_scales(model, variables, config, n=3):
+    from distillation_trajectories_tpu.models.quantized import (
+        calibrate_activation_scales,
+    )
+
+    k = jax.random.PRNGKey(11)
+    xs = jax.random.normal(k, (n, 2, config.image_size, config.image_size,
+                               config.channels))
+    ts = jnp.stack([jnp.array([1.0, 4.0]) + i for i in range(n)])
+    conds = jnp.ones((n, 2, 1))
+    masks = jnp.ones((n, 2, 1))
+    return calibrate_activation_scales(model, variables, xs, ts, conds, masks)
+
+
+def test_static_scales_close_to_float_and_host_side():
+    """Calibrated static activation scales: host floats (never device
+    arrays — they'd become closed-over constants), fidelity comparable to
+    the dynamic path on in-calibration-range inputs."""
+    config = _tiny_config()
+    model, variables = _model_and_vars(config)
+    scales = _calibrated_scales(model, variables, config)
+    for blk in scales.values():
+        for s in blk.values():
+            assert isinstance(s, float) and s > 0
+    assert set(scales) == {"enc1", "enc2", "enc3", "enc4", "bottleneck",
+                           "dec3", "dec2", "dec1"}
+
+    x, t, cond, mask = _inputs(config)
+    ref = np.asarray(model.apply(variables, x, t, cond=cond, cond_mask=mask,
+                                 train=False))
+    got = np.asarray(
+        make_quantized_eval_fn(model, variables, act_scales=scales)(
+            x, t, cond, mask))
+    rel = np.linalg.norm(got - ref) / (np.linalg.norm(ref) + 1e-12)
+    assert np.isfinite(got).all() and rel < 0.2, f"static-scale rel {rel:.3f}"
+
+
+def test_static_scales_remove_dynamic_reductions():
+    """The static-scale graph must not contain the per-conv max-abs
+    reductions (the dynamic mode's serialization point)."""
+    config = _tiny_config()
+    model, variables = _model_and_vars(config)
+    scales = _calibrated_scales(model, variables, config)
+    x, t, cond, mask = _inputs(config)
+
+    def hlo(fn):
+        return jax.jit(lambda v, *a: fn(v)(*a)).lower(
+            variables, x, t, cond, mask).as_text()
+
+    dyn = hlo(lambda v: make_quantized_eval_fn(model, v))
+    sta = hlo(lambda v: make_quantized_eval_fn(model, v, act_scales=scales))
+    # The dynamic graph reduces each activation to a scalar max; the static
+    # one must not (weight-scale constants are fine — look for the reduce).
+    assert dyn.count("reduce") > sta.count("reduce")
+
+
+def test_mixed_precision_quant_blocks():
+    """quant_blocks leaves excluded Blocks on the folded-float path."""
+    config = _tiny_config()
+    model, variables = _model_and_vars(config)
+    keep = {"enc1", "enc2", "dec2", "dec1"}
+    qvars = quantize_unet_variables(model, variables, quant_blocks=keep)
+    for name, blk in qvars["blocks"].items():
+        key = "w_int8" if name in keep else "w"
+        assert key in blk["conv1"], (name, list(blk["conv1"]))
+        assert key in blk["conv2"]
+
+    x, t, cond, mask = _inputs(config)
+    ref = np.asarray(model.apply(variables, x, t, cond=cond, cond_mask=mask,
+                                 train=False))
+    got = np.asarray(
+        make_quantized_eval_fn(model, variables, quant_blocks=keep)(
+            x, t, cond, mask))
+    rel = np.linalg.norm(got - ref) / (np.linalg.norm(ref) + 1e-12)
+    # Fewer quantized blocks => error no worse than the all-int8 bound.
+    assert np.isfinite(got).all() and rel < 0.15, f"mixed rel {rel:.3f}"

@@ -95,10 +95,62 @@ def test_spatial_trajectory_scan_matches_unsharded(test_config):
                                rtol=2e-4, atol=2e-4)
 
 
+def test_spatial_mixed_mesh_forward_matches_unsharded(test_config):
+    """The round-4 failure case: mixed (data>1, spatial>1) meshes pooled
+    to sub-row heights diverged (GSPMD −inf pool padding leaking through
+    padded convs).  The per-level constraint rule must hold parity on
+    every mesh shape, not just the pure ones."""
+    model, variables, x = _model_and_batch(test_config, rng_seed=2)
+    t = jnp.full((4,), 5.0)
+    ref = make_eval_model_fn(model, variables)(jnp.asarray(x), t, None, None)
+    for shape in [(2, 2), (4, 2), (2, 4), (1, 4), (4, 1)]:
+        mesh = make_spatial_mesh(shape)
+        fwd = jax.jit(make_spatial_eval_fn(model, variables, mesh))
+        out = fwd(shard_batch_spatial(x, mesh), t, None, None)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5,
+            err_msg=f"mesh {shape} diverged from unsharded",
+        )
+
+
+def test_spatial_forward_variables_as_args(test_config):
+    """make_spatial_forward is the args-first jit boundary (the TPU
+    invariant: variables ride as arguments, never closure constants)."""
+    mesh = make_spatial_mesh((2, 4))
+    model, variables, x = _model_and_batch(test_config)
+    t = jnp.full((4,), 3.0)
+    from distillation_trajectories_tpu.parallel import make_spatial_forward
+
+    fwd = jax.jit(make_spatial_forward(model, mesh))
+    out = fwd(variables, shard_batch_spatial(x, mesh), t, None, None)
+    ref = make_eval_model_fn(model, variables)(jnp.asarray(x), t, None, None)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def _input_sized_all_gathers(hlo: str, h: int, w: int):
+    """All-gather ops whose result carries the full input spatial extent —
+    the 'whole-activation regather' a halo-exchange layout must not do."""
+    import re
+
+    bad = []
+    for line in hlo.splitlines():
+        if "all-gather" not in line:
+            continue
+        for shape in re.findall(r"\w+\[([\d,]+)\]", line):
+            dims = [int(d) for d in shape.split(",")]
+            if len(dims) == 4 and dims[1] >= h and dims[2] >= w:
+                bad.append(line.strip())
+                break
+    return bad
+
+
 def test_spatial_halo_exchange_in_hlo(test_config):
     """The compiled forward communicates shard edges instead of gathering
-    whole activations: the HLO contains halo collectives and no full-H
-    all-gather of the input-sized activation."""
+    whole activations: the HLO contains halo collectives, and no all-gather
+    materializes a full-input-sized activation (deep sub-row levels ARE
+    regathered by design — they're tiny — so only input-sized gathers
+    fail)."""
     mesh = make_spatial_mesh((1, 4))
     model, variables, _ = _model_and_batch(test_config)
     t = jnp.full((4,), 3.0)
@@ -108,4 +160,9 @@ def test_spatial_halo_exchange_in_hlo(test_config):
     hlo = fwd.lower(x, t, None, None).compile().as_text()
     assert ("collective-permute" in hlo) or ("all-to-all" in hlo), (
         "expected halo-exchange collectives in the partitioned HLO"
+    )
+    bad = _input_sized_all_gathers(hlo, 16, 16)
+    assert not bad, (
+        "input-sized activations are all-gathered (halo layout regressed "
+        "to full regathers):\n" + "\n".join(bad[:5])
     )
