@@ -64,7 +64,7 @@ def _engine_c(alpha_t, alpha_prev):
 
 
 def make_guided_eval_fn(model, variables, guidance_value: float,
-                        quant: Optional[str] = None):
+                        quant: Optional[str] = None, **quant_kw):
     """Eval-mode model fn for a w-CONDITIONED student: ignores the sampler's
     (cond, cond_mask) inputs and feeds ``cond=w, mask=1`` so
     ``generate_trajectory_scan(..., guidance_scale=None)`` runs the guided
@@ -73,11 +73,13 @@ def make_guided_eval_fn(model, variables, guidance_value: float,
 
     ``quant="int8"`` composes the two throughput axes: the fewer-forwards
     win of the w-conditioned student times the int8-MXU win of the
-    quantized forward (models/quantized.py)."""
+    quantized forward (models/quantized.py).  Extra ``quant_kw``
+    (``act_scales``, ``quant_blocks``) pass through to
+    ``make_quantized_eval_fn`` — the static-scale / mixed-precision arms."""
     if quant == "int8":
         from ..models.quantized import make_quantized_eval_fn
 
-        base = make_quantized_eval_fn(model, variables)
+        base = make_quantized_eval_fn(model, variables, **quant_kw)
     else:
         base = make_eval_model_fn(model, variables)
 

@@ -1,4 +1,4 @@
-"""One-command round-record pipeline: probe -> bench -> sweep -> progressive.
+"""One-command round-record pipeline: gate -> probe -> bench -> sweep -> ...
 
 The axon tunnel regularly goes down for 1h+ (PERFORMANCE.md outage log);
 round 3 ended with its flagship artifacts unrecorded because the runs were
@@ -7,12 +7,21 @@ fix: launch it in the background at the START of a round and it waits out a
 dead tunnel, then records every per-round artifact in sequence on the
 single-tenant chip:
 
+0. CORRECTNESS GATE (CPU, tunnel-independent): the quick pytest lane and
+   the driver multichip dryrun.  Round 4 shipped a red driver contract
+   because nothing in the record path ran it; if either gate leg is red the
+   pipeline REFUSES to record or commit artifacts and exits loudly
+   (override for emergencies with --skip_gate).
 1. ``python bench.py``                      -> BENCH ledger + stdout JSON
 2. ``python scripts/run_full_sweep.py``     -> SWEEP_{tag}.json
 3. ``python scripts/bench_progressive.py``  -> BENCH_PROG_{tag}.json
    (the fewer-forwards lane: w-conditioned progressive student vs the CFG
    teacher — the only remaining throughput lever at the measured 60.9% MFU
    sampler roofline)
+4. ``--with_quant``: scripts/bench_quant.py -> BENCH_QUANT_{tag}.json
+5. ``--with_fast``:  scripts/bench_fast.py  -> BENCH_FAST_{tag}.json
+   (the composed lane — w-conditioned student × int8; needs the
+   progressive stage's checkpoint, so it runs last)
 
 Each stage gets a hard wall-clock timeout (a dropped RPC otherwise hangs
 forever) and the tunnel is re-probed between stages.  Stage logs land in
@@ -99,16 +108,55 @@ def _stage(name: str, cmd: list, tag: str, timeout: float) -> bool:
     return rc == 0
 
 
+def _gate(tag: str) -> dict:
+    """CPU correctness gate: quick pytest lane + the driver dryrun contract.
+
+    Both legs are tunnel-independent (tests/conftest.py and
+    dryrun_multichip force the CPU backend), so the gate runs BEFORE any
+    tunnel wait.  A red leg means the working tree would record artifacts
+    for code the driver/judge will grade as broken — refuse.
+    """
+    py = sys.executable
+    gate = {
+        "pytest": _stage(
+            "gate_pytest",
+            [py, "-m", "pytest", "tests/", "-q", "-m", "not slow"],
+            tag, timeout=2400),
+        "driver_contract": _stage(
+            "gate_driver",
+            [py, "-u", "-c",
+             "from __graft_entry__ import dryrun_multichip; "
+             "dryrun_multichip(8)"],
+            tag, timeout=2400),
+    }
+    print(f"[record] gate: "
+          f"{{pytest: {'ok' if gate['pytest'] else 'RED'}, "
+          f"driver_contract: {'ok' if gate['driver_contract'] else 'RED'}}}",
+          flush=True)
+    return gate
+
+
 def _commit_artifacts(tag: str, results: dict) -> None:
     """Commit the per-round measured artifacts so a pipeline that finishes
     after the interactive session ends still lands durable results (the
     stages run for hours once the tunnel recovers; nobody may be around
-    when they complete)."""
+    when they complete).
+
+    Both the changed-check and the commit are PATHSPEC-LIMITED to the
+    artifact files: a bare ``git commit`` here would sweep up any unrelated
+    staged work sitting in the tree when the pipeline fires hours later.
+    """
     candidates = [
         f"SWEEP_{tag}.json",
+        f"BENCH_{tag}.json",
+        f"MULTICHIP_{tag}.json",
         f"BENCH_PROG_{tag}.json",
         f"BENCH_QUANT_{tag}.json",
+        f"BENCH_FAST_{tag}.json",
         ".bench_ledger.jsonl",
+        ".bench_baseline.json",
+        os.path.join("docs", "artifacts", "bench_quant.json"),
+        os.path.join("docs", "artifacts", "bench_fast.json"),
     ]
     present = [p for p in candidates
                if os.path.exists(os.path.join(project_root, p))]
@@ -118,8 +166,9 @@ def _commit_artifacts(tag: str, results: dict) -> None:
     try:
         subprocess.run(["git", "add", "--"] + present, cwd=project_root,
                        check=True, timeout=60)
-        diff = subprocess.run(["git", "diff", "--cached", "--quiet"],
-                              cwd=project_root, timeout=60)
+        diff = subprocess.run(
+            ["git", "diff", "--cached", "--quiet", "--"] + present,
+            cwd=project_root, timeout=60)
         if diff.returncode == 0:
             print("[record] artifacts unchanged; nothing to commit",
                   flush=True)
@@ -127,8 +176,8 @@ def _commit_artifacts(tag: str, results: dict) -> None:
         ok = [k for k, v in results.items() if v]
         msg = (f"Record {tag} measured artifacts "
                f"({', '.join(ok) if ok else 'no stage ok'})")
-        subprocess.run(["git", "commit", "-m", msg], cwd=project_root,
-                       check=True, timeout=60)
+        subprocess.run(["git", "commit", "-m", msg, "--"] + present,
+                       cwd=project_root, check=True, timeout=60)
         print(f"[record] committed: {msg}", flush=True)
     except Exception as e:  # never let bookkeeping kill the pipeline exit
         print(f"[record] artifact commit failed: {e}", flush=True)
@@ -148,10 +197,26 @@ def main():
     parser.add_argument("--with_quant", action="store_true",
                         help="append the int8-sampler A/B stage "
                         "(scripts/bench_quant.py -> BENCH_QUANT_{tag}.json)")
+    parser.add_argument("--with_fast", action="store_true",
+                        help="append the composed student×int8 stage "
+                        "(scripts/bench_fast.py -> BENCH_FAST_{tag}.json); "
+                        "needs the progressive stage's checkpoint")
+    parser.add_argument("--skip_gate", action="store_true",
+                        help="EMERGENCY ONLY: record even if the CPU "
+                        "correctness gate is red")
     args = parser.parse_args()
     py = sys.executable
 
     results = {}
+    if not args.skip_gate:
+        gate = _gate(args.tag)
+        if not all(gate.values()):
+            print("[record] GATE RED — refusing to record/commit artifacts "
+                  "for a broken tree (see gate_* logs; --skip_gate "
+                  "overrides).", flush=True)
+            print(f"[record] DONE {json.dumps({'gate': gate})}", flush=True)
+            sys.exit(2)
+        results["gate"] = True
     if not args.skip_bench:
         _wait_healthy()
         # Must exceed bench.py's own worst-case budget (600s probe wait +
@@ -185,14 +250,21 @@ def main():
             args.tag, timeout=5400)
     if args.with_quant:
         _wait_healthy()
-        # Two full sampler compiles (float + int8, ~5-6 min each over the
-        # tunnel) + three measured chains; the script's own watchdogs
-        # convert dropped RPCs into loud exits well inside this.
+        # Five full sampler compiles (float/fold/int8×3 arms, ~5-6 min each
+        # over the tunnel) + measured chains + HLO census; the script's own
+        # watchdogs convert dropped RPCs into loud exits well inside this.
         results["quant"] = _stage(
             "quant",
             [py, "-u", "scripts/bench_quant.py", "--use_checkpoint",
              "--record_tag", args.tag],
-            args.tag, timeout=3600)
+            args.tag, timeout=7200)
+    if args.with_fast:
+        _wait_healthy()
+        # Teacher CFG + four student arms (~5 compiles) + w-sweep + FID.
+        results["fast"] = _stage(
+            "fast",
+            [py, "-u", "scripts/bench_fast.py", "--record_tag", args.tag],
+            args.tag, timeout=7200)
     if not args.no_git_commit:
         _commit_artifacts(args.tag, results)
     print(f"[record] DONE {json.dumps(results)}", flush=True)

@@ -203,3 +203,50 @@ def test_progressive_distill_round(test_config):
     )
     assert traj.shape == (steps + 1, 1, 16, 16, 1)
     assert np.isfinite(np.asarray(traj)).all()
+
+
+def test_bench_fast_cli_contract(test_config, tmp_path, monkeypatch):
+    """scripts/bench_fast.py (the composed student×quant lane) end-to-end
+    on CPU at tiny scale: JSON record contract, all four student arms."""
+    import json
+    import os
+    import runpy
+    import sys
+
+    from distillation_trajectories_tpu.training import save_checkpoint
+
+    # Tiny teacher + w-conditioned student checkpoints under a tmp root.
+    test_config.create_directories()
+    model = make_unet(test_config, size_factor=0.05)
+    variables = init_unet(model, test_config, jax.random.PRNGKey(0))
+    save_checkpoint(test_config.teacher_models_dir, 1,
+                    variables["params"], variables.get("batch_stats"))
+    sdir = os.path.join(test_config.models_dir, "progressive_cfg", "steps_2")
+    save_checkpoint(sdir, 1, variables["params"],
+                    variables.get("batch_stats"))
+
+    out = tmp_path / "bench_fast.json"
+    monkeypatch.setattr(sys, "argv", [
+        "bench_fast.py", "--batch", "2", "--iters", "1",
+        "--teacher_steps", "4", "--student_steps", "2",
+        "--size_factor", "0.05", "--base_dir", test_config.base_dir,
+        "--image_size", str(test_config.image_size),
+        "--channels", str(test_config.channels),
+        "--w_sweep", "1.0,3.0", "--fid_samples", "4",
+        "--out", str(out),
+    ])
+    monkeypatch.syspath_prepend("scripts")
+    runpy.run_path("scripts/bench_fast.py", run_name="__main__")
+    rec = json.loads(out.read_text())
+    for key in ("teacher_traj_per_s", "best_arm", "best_traj_per_s",
+                "best_speedup", "arms", "preflight", "w_sweep_best_arm",
+                "fid_teacher_vs_best"):
+        assert key in rec, key
+    for arm in ("teacher_cfg_bf16", "student_bf16", "student_int8",
+                "student_int8_static", "student_int8_static_mixed"):
+        assert arm in rec["arms"], arm
+    for name, arm in rec["arms"].items():
+        assert arm["traj_per_s"] > 0, name
+        if name.startswith("student_"):
+            assert np.isfinite(arm["endpoint_mse_vs_teacher"]), name
+    assert rec["best_arm"].startswith("student_")

@@ -141,3 +141,75 @@ def test_commit_artifacts_in_temp_repo(rr, tmp_path, monkeypatch):
     n = subprocess.run(["git", "rev-list", "--count", "HEAD"], cwd=repo,
                        capture_output=True, text=True).stdout.strip()
     assert n == "1"
+
+
+def test_commit_artifacts_ignores_unrelated_staged(rr, tmp_path, monkeypatch):
+    """The artifact commit is pathspec-limited: unrelated staged work in the
+    tree when the pipeline fires hours later must NOT be swept into the
+    'Record ... measured artifacts' commit."""
+    import subprocess
+
+    repo = tmp_path / "repo"
+    repo.mkdir()
+    subprocess.run(["git", "init", "-q"], cwd=repo, check=True)
+    subprocess.run(["git", "config", "user.email", "t@t"], cwd=repo,
+                   check=True)
+    subprocess.run(["git", "config", "user.name", "t"], cwd=repo, check=True)
+    monkeypatch.setattr(rr, "project_root", str(repo))
+
+    (repo / "unrelated.py").write_text("wip = True\n")
+    subprocess.run(["git", "add", "unrelated.py"], cwd=repo, check=True)
+
+    # Unrelated staged content alone must not trigger a commit.
+    rr._commit_artifacts("tY", {"bench": True})
+    n = subprocess.run(["git", "rev-list", "--count", "HEAD"], cwd=repo,
+                       capture_output=True, text=True).stdout.strip()
+    assert n in ("", "0"), "committed with no artifact present"
+
+    (repo / "SWEEP_tY.json").write_text('{"ok": true}')
+    rr._commit_artifacts("tY", {"bench": True})
+    log = subprocess.run(["git", "log", "--name-only", "-1"], cwd=repo,
+                         capture_output=True, text=True).stdout
+    assert "SWEEP_tY.json" in log
+    assert "unrelated.py" not in log, "pathspec leak: unrelated file committed"
+    # The unrelated file is still staged, untouched.
+    staged = subprocess.run(["git", "diff", "--cached", "--name-only"],
+                            cwd=repo, capture_output=True, text=True).stdout
+    assert "unrelated.py" in staged
+
+
+def test_gate_red_refuses_to_record(rr, monkeypatch):
+    """A red CPU gate (pytest or driver contract) must abort the pipeline
+    before any tunnel wait / measured stage / artifact commit."""
+    calls = []
+    monkeypatch.setattr(rr, "_stage",
+                        lambda name, *a, **k: calls.append(name) or False)
+    monkeypatch.setattr(rr, "_wait_healthy",
+                        lambda *a, **k: pytest.fail("waited on tunnel"))
+    monkeypatch.setattr(
+        rr, "_commit_artifacts",
+        lambda *a, **k: pytest.fail("committed with red gate"))
+    monkeypatch.setattr(sys, "argv", ["record_round.py", "--tag", "tZ"])
+    with pytest.raises(SystemExit) as e:
+        rr.main()
+    assert e.value.code == 2
+    assert calls and calls[0] == "gate_pytest"
+
+
+def test_gate_green_proceeds_to_stages(rr, monkeypatch):
+    monkeypatch.setattr(rr, "_gate", lambda tag: {"pytest": True,
+                                                  "driver_contract": True})
+    monkeypatch.setattr(rr, "_wait_healthy", lambda *a, **k: None)
+    ran = []
+    monkeypatch.setattr(rr, "_stage",
+                        lambda name, *a, **k: ran.append(name) or True)
+    committed = []
+    monkeypatch.setattr(rr, "_commit_artifacts",
+                        lambda *a, **k: committed.append(a))
+    monkeypatch.setattr(sys, "argv", [
+        "record_round.py", "--tag", "tZ", "--with_quant", "--with_fast"])
+    with pytest.raises(SystemExit) as e:
+        rr.main()
+    assert e.value.code == 0
+    assert ran == ["bench", "sweep", "progressive", "quant", "fast"]
+    assert committed
