@@ -356,14 +356,19 @@ def make_unet(config, size_factor: float = 1.0) -> DiffusionUNet:
     )
 
 
-def init_unet(model: DiffusionUNet, config, key: jax.Array):
-    """Initialize params + batch_stats for a U-Net.
+def make_init_fn(model: DiffusionUNet, config, force_jit: Optional[bool] = None):
+    """Build the init function ``key -> variables`` for a U-Net.
 
     On an accelerator backend the init is jitted: eager ``model.init``
     dispatches every initializer as its own device op — measured 81s for
     the sf=1.0 model over the tunneled TPU (hundreds of RTTs) vs 9s for
     one compiled graph.  On CPU eager is faster (no per-op RTT, and the
     test suite would pay a compile per architecture), so it stays eager.
+
+    Exposed separately from :func:`init_unet` so a sweep can ``lower()``
+    the init graphs of all its architectures and compile them CONCURRENTLY
+    (utils/compile_pool.py) — 13 sequential ~15s init compiles were 25% of
+    the r04 students stage.
     """
     x = jnp.zeros((1, config.image_size, config.image_size, config.channels))
     t = jnp.zeros((1,), dtype=jnp.float32)
@@ -375,9 +380,13 @@ def init_unet(model: DiffusionUNet, config, key: jax.Array):
             train=False,
         )
 
-    if jax.default_backend() != "cpu":
-        init = jax.jit(init)
-    return init(key)
+    jit_it = (jax.default_backend() != "cpu") if force_jit is None else force_jit
+    return jax.jit(init) if jit_it else init
+
+
+def init_unet(model: DiffusionUNet, config, key: jax.Array):
+    """Initialize params + batch_stats for a U-Net (see make_init_fn)."""
+    return make_init_fn(model, config)(key)
 
 
 def param_count(params) -> int:

@@ -71,7 +71,7 @@ def print_size_factor_info(size_factors: List[float]) -> None:
 
 
 def _build_student(teacher_model, teacher_variables, config, size_factor,
-                   seed, _shared=None):
+                   seed, _shared=None, _init_fn=None):
     """Everything distillation needs before the first batch: student model +
     init, train state (mesh-sharded when configured), and the jitted step.
 
@@ -85,6 +85,11 @@ def _build_student(teacher_model, teacher_variables, config, size_factor,
     duplicate costs zero extra traces/compiles: this student's state has
     the same avals, so execution lands in the shared fn's dispatch cache.
     Params are still initialised independently per size factor.
+
+    ``_init_fn`` (a pre-jitted/pre-compiled init from models.make_init_fn,
+    one per distinct architecture) replaces the internal ``init_unet`` call
+    so the sweep's init graphs compile concurrently instead of one ~15s
+    serial compile per architecture (25% of the r04 students stage).
     """
     key = jax.random.PRNGKey(seed + int(size_factor * 1000))
     key, init_key = jax.random.split(key)
@@ -95,7 +100,10 @@ def _build_student(teacher_model, teacher_variables, config, size_factor,
         _shared["model"] if _shared else make_unet(config, size_factor=size_factor)
     )
     with phase_timer("students/init_unet"):
-        variables = init_unet(student_model, config, init_key)
+        if _init_fn is not None:
+            variables = _init_fn(init_key)
+        else:
+            variables = init_unet(student_model, config, init_key)
 
     tx = make_optimizer(config)
     state = create_train_state(student_model, variables, tx)
@@ -433,21 +441,56 @@ def train_students(
     # ~minutes-long XLA compile, which dominated the sequential sweep's
     # wall-clock (SWEEP_r02: 13 serial compiles ≈ 80% of the stage).
     prebuilt: Dict[float, dict] = {}
+    compile_pool = None
     if len(size_factors) > 1 and os.environ.get("DTT_PRECOMPILE", "1") != "0":
-        from ..utils.compile_pool import compile_concurrently
+        from ..utils.compile_pool import AsyncCompilePool, compile_concurrently
+
+        # The 16-channel floor maps several small size factors onto the
+        # SAME derived architecture (e.g. 0.01 and 0.05); everything below
+        # dedups per distinct architecture.
+        arch_of: Dict[float, tuple] = {}
+        for size_factor in size_factors:
+            m = make_unet(config, size_factor=size_factor)
+            arch_of[size_factor] = (tuple(m.dims), m.time_emb_dim)
+
+        # Concurrent INIT compiles (accelerator backends; CPU init is
+        # eager by design): one jitted init graph per distinct
+        # architecture, all compiling in the pool at once — the serial
+        # ~15s-per-arch init compiles were 25% of the r04 students stage.
+        arch_init: Dict[tuple, object] = {}
+        if jax.default_backend() != "cpu":
+            from ..models import make_init_fn
+
+            with phase_timer("students/init_compile"):
+                key_aval = jax.ShapeDtypeStruct(
+                    jnp.shape(jax.random.PRNGKey(0)),
+                    jax.random.PRNGKey(0).dtype,
+                )
+                init_producers = []
+                for size_factor in size_factors:
+                    arch = arch_of[size_factor]
+                    if arch not in arch_init:
+                        fn = make_init_fn(
+                            make_unet(config, size_factor=size_factor),
+                            config, force_jit=True,
+                        )
+                        arch_init[arch] = fn
+                        init_producers.append(
+                            lambda fn=fn: fn.lower(key_aval))
+                compile_concurrently(
+                    init_producers,
+                    label=f"student inits x{len(init_producers)}",
+                    per_item_budget=120.0,
+                )
 
         with phase_timer("students/builds"):
-            # The 16-channel floor maps several small size factors onto the
-            # SAME derived architecture (e.g. 0.01 and 0.05); build one jit
-            # step/grid per distinct architecture and share it — duplicates
-            # then cost zero traces/compiles (dispatch-cache hits).
             arch_canonical: Dict[tuple, dict] = {}
             for size_factor in size_factors:
-                m = make_unet(config, size_factor=size_factor)
-                arch = (tuple(m.dims), m.time_emb_dim)
+                arch = arch_of[size_factor]
                 prebuilt[size_factor] = _build_student(
                     teacher_model, teacher_variables, config, size_factor,
                     seed, _shared=arch_canonical.get(arch),
+                    _init_fn=arch_init.get(arch),
                 )
                 arch_canonical.setdefault(arch, prebuilt[size_factor])
         # Example avals must match execution exactly (shape, dtype, AND
@@ -486,15 +529,6 @@ def train_students(
                 )
                 b["dataset_dev"] = dataset_dev
             key_example = jax.random.PRNGKey(0)
-            unique = list(
-                {id(b["epoch_fn"]): b for b in prebuilt.values()}.values()
-            )
-            producers = [
-                lambda b=b: b["epoch_fn"].lower(
-                    b["state"], dataset_dev, idx_aval, key_example
-                )
-                for b in unique
-            ]
         elif mesh is not None:
             from ..parallel.mesh import batch_sharding
 
@@ -507,40 +541,55 @@ def train_students(
         else:
             images_aval = jax.ShapeDtypeStruct(images_shape, jnp.float32)
             key_example = jax.random.PRNGKey(0)
-        # Producers: tracing happens in the calling thread while earlier
-        # graphs compile in the pool (utils/compile_pool.py).  Shared-arch
-        # duplicates reuse the same jit objects — lower each only once.
-        if not use_scan:
-            unique = list(
-                {id(b["train_step"]): b for b in prebuilt.values()}.values()
-            )
-            producers = [
-                lambda b=b: b["train_step"].lower(
-                    b["state"], images_aval, key_example
-                )
-                for b in unique
-            ]
         # Grid keys are plain (uncommitted) at execution time in both the
         # mesh and single-device paths — lower with a plain key to match.
         grid_key = jax.random.PRNGKey(0)
-        producers += [
-            lambda b=b: b["grid_fn"].lower(
-                b["state"].params, b["state"].batch_stats, grid_key
+
+        # COMPILE-AHEAD pool (round-5 cut): graphs are traced up front
+        # (serial — interleaved tracing starves this 1-core host) but
+        # compile in the background WHILE earlier students train: training
+        # dispatch mostly waits on device RPCs with the GIL released, and
+        # compiles run server-side, so student 1's epochs hide students
+        # 2..N's compile tail.  Each student waits only for its own graphs.
+        # Shared-arch duplicates reuse the same jit objects — lowered once
+        # via the memo, so dup size factors map to the SAME compile future.
+        _lower_memo: Dict[int, object] = {}
+
+        def _once(obj, produce):
+            def make():
+                if id(obj) not in _lower_memo:
+                    _lower_memo[id(obj)] = produce()
+                return _lower_memo[id(obj)]
+            return make
+
+        producer_map: Dict[float, list] = {}
+        for size_factor, b in prebuilt.items():
+            items = []
+            if use_scan:
+                ef = b["epoch_fn"]
+                items.append(_once(ef, lambda ef=ef, b=b: ef.lower(
+                    b["state"], dataset_dev, idx_aval, key_example)))
+            else:
+                ts_ = b["train_step"]
+                items.append(_once(ts_, lambda ts_=ts_, b=b: ts_.lower(
+                    b["state"], images_aval, key_example)))
+            if b["grid_fn"] is not None:
+                gf = b["grid_fn"]
+                items.append(_once(gf, lambda gf=gf, b=b: gf.lower(
+                    b["state"].params, b["state"].batch_stats, grid_key)))
+            producer_map[size_factor] = items
+        with phase_timer("students/compile_trace"):
+            compile_pool = AsyncCompilePool(
+                producer_map,
+                label=(
+                    f"distill {'epochs' if use_scan else 'steps'} + grids "
+                    f"({len(size_factors)} sizes, shared-arch dedup, "
+                    "compile-ahead)"
+                ),
+                # Train-step graphs compile in minutes (vs ~30s trajectory
+                # scans); budget the hang deadline accordingly.
+                per_item_budget=400.0,
             )
-            for b in unique
-            if b["grid_fn"] is not None
-        ]
-        compile_concurrently(
-            producers,
-            label=(
-                f"distill {'epochs' if use_scan else 'steps'} + grids "
-                f"x{len(unique)} "
-                f"({len(size_factors)} sizes, shared-arch dedup)"
-            ),
-            # Train-step graphs compile in minutes (vs ~30s trajectory
-            # scans); budget the hang deadline accordingly.
-            per_item_budget=400.0,
-        )
 
     students: Dict[float, Tuple[object, dict]] = {}
     # One shared async writer: saves from student i overlap student i+1's
@@ -551,6 +600,12 @@ def train_students(
             print(
                 f"\nDistilling to student model with size factor {size_factor}..."
             )
+            if compile_pool is not None:
+                with phase_timer("students/compile_wait"):
+                    waited = compile_pool.wait(size_factor)
+                if waited > 0.5:
+                    print(f"[students] sf={size_factor}: waited "
+                          f"{waited:.1f}s for its executables")
             students[size_factor] = distill_diffusion_model(
                 teacher_model,
                 teacher_variables,
@@ -561,6 +616,9 @@ def train_students(
                 ckpt_writer=writer,
             )
     finally:
+        if compile_pool is not None:
+            with phase_timer("students/compile_drain"):
+                compile_pool.close()
         with phase_timer("students/ckpt_flush"):
             writer.close()
     # Wall-clock attribution for the sweep (init/build/grid/flush phases are

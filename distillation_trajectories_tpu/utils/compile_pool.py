@@ -65,6 +65,98 @@ def cancel_watchdog() -> None:
     faulthandler.cancel_dump_traceback_later()
 
 
+class AsyncCompilePool:
+    """Compile-AHEAD pool: trace everything up front (serial — interleaved
+    tracing starves on this 1-core host, see compile_concurrently), submit
+    every compile to a thread pool, and let the caller overlap its own work
+    (training, which mostly waits on device RPCs with the GIL released)
+    with the remaining server-side compiles, waiting per-key only when it
+    actually needs that executable.
+
+    ``producers`` maps key -> list of zero-arg callables returning a
+    ``Lowered`` (or Lowered directly).  Duplicate list entries across keys
+    are fine — pass the same resolved Lowered object; each unique graph
+    should appear once overall.
+    """
+
+    def __init__(self, producers, workers: int = None, label: str = "",
+                 verbose: bool = True, per_item_budget: float = 400.0):
+        if workers is None:
+            workers = int(os.environ.get("DTT_COMPILE_WORKERS", "8") or 8)
+        self._budget = per_item_budget
+        self._label = label
+        self._verbose = verbose
+        self._t0 = time.perf_counter()
+        n = sum(len(v) for v in producers.values())
+        arm_watchdog(max(600.0, 60.0 + 30.0 * n))  # tracing only
+        try:
+            resolved = {
+                k: [item() if callable(item) else item for item in items]
+                for k, items in producers.items()
+            }
+        finally:
+            cancel_watchdog()
+        self._trace_s = time.perf_counter() - self._t0
+        self._pool = concurrent.futures.ThreadPoolExecutor(
+            max_workers=workers)
+        seen = {}
+        self._futures = {}
+        for k, items in resolved.items():
+            futs = []
+            for lw in items:
+                if id(lw) not in seen:
+                    seen[id(lw)] = self._pool.submit(self._timed, lw)
+                futs.append(seen[id(lw)])
+            self._futures[k] = futs
+        self._n_unique = len(seen)
+        if verbose:
+            print(f"[compile-pool:async] {label or 'queued'}: "
+                  f"{self._n_unique} executables queued "
+                  f"(trace {self._trace_s:.1f}s)", flush=True)
+
+    @staticmethod
+    def _timed(lw):
+        c0 = time.perf_counter()
+        lw.compile()
+        return time.perf_counter() - c0
+
+    def wait(self, key) -> float:
+        """Block until every executable the key needs is compiled; returns
+        the wall seconds spent actually waiting (0 when already done)."""
+        futs = self._futures.get(key, ())
+        if all(f.done() for f in futs):
+            for f in futs:
+                f.result()  # surface compile errors even when done
+            return 0.0
+        t0 = time.perf_counter()
+        arm_watchdog(max(600.0, self._budget * len(futs)))
+        try:
+            for f in futs:
+                f.result()
+        finally:
+            cancel_watchdog()
+        return time.perf_counter() - t0
+
+    def close(self):
+        """Drain remaining compiles (surfacing errors) and shut down."""
+        arm_watchdog(max(600.0, self._budget * self._n_unique))
+        try:
+            for futs in self._futures.values():
+                for f in futs:
+                    f.result()
+        finally:
+            cancel_watchdog()
+        self._pool.shutdown(wait=True)
+        if self._verbose:
+            uniq = {id(f): f for futs in self._futures.values() for f in futs}
+            per = [f.result() for f in uniq.values()]
+            wall = time.perf_counter() - self._t0
+            print(f"[compile-pool:async] {self._label or 'done'}: "
+                  f"{self._n_unique} executables, pool open {wall:.1f}s "
+                  f"(trace {self._trace_s:.1f}s, compile sum "
+                  f"{sum(per):.1f}s)", flush=True)
+
+
 def compile_concurrently(
     lowered: Sequence,
     workers: int = None,

@@ -46,3 +46,47 @@ def test_cancel_watchdog_idempotent():
     cancel_watchdog()
     # faulthandler's own timer must be clear afterwards
     faulthandler.cancel_dump_traceback_later()
+
+
+def test_async_compile_pool_wait_and_close():
+    """AsyncCompilePool: trace-up-front, background compiles, per-key wait,
+    shared jit objects dedup to one future, errors surface on wait."""
+    import jax
+    import jax.numpy as jnp
+
+    from distillation_trajectories_tpu.utils.compile_pool import (
+        AsyncCompilePool,
+    )
+
+    @jax.jit
+    def f(x):
+        return x * 2.0
+
+    @jax.jit
+    def g(x):
+        return x + 1.0
+
+    x = jnp.ones((4,))
+    memo = {}
+
+    def once(obj, produce):
+        def make():
+            if id(obj) not in memo:
+                memo[id(obj)] = produce()
+            return memo[id(obj)]
+        return make
+
+    pool = AsyncCompilePool(
+        {
+            "a": [once(f, lambda: f.lower(x))],
+            "b": [once(f, lambda: f.lower(x)), once(g, lambda: g.lower(x))],
+        },
+        verbose=False,
+    )
+    assert pool.wait("a") >= 0.0
+    assert pool.wait("b") >= 0.0
+    assert pool.wait("missing-key") == 0.0
+    # Shared object f lowered exactly once -> 2 unique executables total.
+    assert pool._n_unique == 2
+    pool.close()
+    assert float(f(x)[0]) == 2.0 and float(g(x)[0]) == 2.0

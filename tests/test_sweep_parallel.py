@@ -227,8 +227,10 @@ def test_train_students_sequential_precompiles(tmp_path, capsys):
     students = train_students(cfg, custom_size_factors=[0.25, 0.1], seed=0)
     out = capsys.readouterr().out
     # Label says "epochs" on the (default) epoch-scan path, "steps" on the
-    # per-batch path; either way the pool must dedup to x2 executables.
-    assert "[compile-pool] distill epochs + grids x2" in out
+    # per-batch path; either way the (async compile-ahead) pool must dedup
+    # to 2 executables for these 2 distinct-arch students.
+    assert "[compile-pool:async] distill epochs + grids" in out
+    assert "2 executables queued" in out
     assert set(students) == {0.25, 0.1}
     for sf in (0.25, 0.1):
         assert os.path.exists(
