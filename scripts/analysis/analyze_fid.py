@@ -83,6 +83,16 @@ def main():
                     dpi=300, bbox_inches="tight")
         plt.close()
         with open(os.path.join(config.fid_dir, "fid_summary.txt"), "w") as f:
+            # Feature provenance INLINE in the human-read artifact (not just
+            # the json): seeded-random scores are self-consistent but not
+            # ImageNet-FID-comparable (reference fid_score.py:19-34).
+            f.write(
+                "features: "
+                + ("pretrained-torchvision" if inception.pretrained
+                   else "seeded-random (NOT ImageNet-FID-comparable; set "
+                   "INCEPTION_WEIGHTS to a torchvision state dict)")
+                + "\n"
+            )
             for s in sizes:
                 f.write(f"size_{s}: {fid_by_size[s]:.4f}\n")
         # Machine-readable artifact with the feature PROVENANCE stamped in:

@@ -78,4 +78,9 @@ def test_fid_cli_writes_provenance_artifact(tmp_path, monkeypatch):
     assert set(rec["fid_by_size"]) == {"0.1"}
     assert np.isfinite(rec["fid_by_size"]["0.1"])
     assert os.path.exists(os.path.join(cfg.fid_dir, "fid_vs_size.png"))
-    assert os.path.exists(os.path.join(cfg.fid_dir, "fid_summary.txt"))
+    # Provenance line INLINE in the human-read txt (VERDICT r4 #7): a human
+    # reading the reference-contract artifact must see the feature lane.
+    with open(os.path.join(cfg.fid_dir, "fid_summary.txt")) as f:
+        txt = f.read()
+    assert txt.startswith("features: seeded-random")
+    assert "size_0.1:" in txt
