@@ -127,6 +127,14 @@ class Config:
     # runs keep the per-batch loop (per-batch shard_batch placement).
     # DTT_EPOCH_SCAN=0 overrides at runtime.
     epoch_scan: bool = True
+    # Train identical-architecture students of a sweep as ONE batched graph
+    # (lax.scan(vmap(step)) over the member axis — the 16-channel floor maps
+    # e.g. sf 0.01 and 0.05 onto the same U-Net): one dispatch per epoch for
+    # the whole group, and the member axis keeps the MXU fed where one tiny
+    # student's convs underutilize it.  Per-member math/keys/batches are
+    # exactly the sequential trainer's (tests/test_training.py parity).
+    # Applies only on the epoch-scan path (single device, no sweep_parallel).
+    vmap_students: bool = True
     # Save checkpoints through the sharding-preserving orbax lane
     # (training/checkpoints.py::save_checkpoint_sharded): each shard writes
     # from its own device, no full-tree host gather — the pod-scale path.

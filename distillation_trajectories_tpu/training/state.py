@@ -337,3 +337,77 @@ def make_distill_epoch_fn(
             return _epoch.lower(teacher_variables, state, dataset, idx, key)
 
     return _DistillEpoch()
+
+
+def stack_train_states(states):
+    """Stack same-architecture TrainStates along a leading member axis."""
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)
+
+
+def unstack_train_state(states, i: int):
+    """Member ``i`` of a stacked TrainState pytree."""
+    return jax.tree_util.tree_map(lambda x: x[i], states)
+
+
+def make_multi_distill_epoch_fn(
+    teacher_model,
+    teacher_variables,
+    student_model,
+    tx: optax.GradientTransformation,
+    teacher_diffusion_params,
+    teacher_steps: int,
+    student_steps: int,
+):
+    """Epoch-level distillation for N SAME-ARCHITECTURE students as ONE
+    batched graph (the vmapped multi-student step, VERDICT r4 #5).
+
+    The 16-channel floor maps several size factors onto one derived U-Net
+    (e.g. sf 0.01 and 0.05), and the reference trains its sweep strictly
+    sequentially (train_students.py:257-266).  Here the whole identical-arch
+    group rides a single ``lax.scan(vmap(step))`` graph: one dispatch per
+    epoch for the group, one shared batch gather, and the member axis keeps
+    the MXU fed where one tiny student's convs underutilize it.
+
+    Parity contract: each member's math is EXACTLY the sequential trainer's
+    — the same per-batch ``key, step_key = split(key)`` stream per member,
+    the same shared batch composition (all sequential students use
+    same-seed loader views, so their epoch indices are identical), and the
+    same step core — pinned by tests/test_training.py's vmapped-vs-
+    sequential parity test.
+
+    Returns ``epoch(states, dataset, idx, keys) -> (states, keys', losses)``
+    where ``states``/``keys`` carry a leading member axis (see
+    :func:`stack_train_states`) and ``losses`` is ``[n_batches, N]``.
+    Teacher variables pre-bound as a jit ARGUMENT; ``lower`` exposed for
+    AOT compile pools.
+    """
+    core = _distill_step_core(
+        teacher_model, student_model, tx, teacher_diffusion_params,
+        teacher_steps, student_steps,
+    )
+
+    @partial(jax.jit, donate_argnums=(1,))
+    def _epoch(t_vars, states, dataset, idx, keys):
+        def body(carry, batch_idx):
+            states, keys = carry
+            images = jnp.take(dataset, batch_idx, axis=0)
+
+            def per_student(state, key):
+                key, step_key = jax.random.split(key)
+                state, loss = core(t_vars, state, images, step_key)
+                return state, key, loss
+
+            states, keys, losses = jax.vmap(per_student)(states, keys)
+            return (states, keys), losses
+
+        (states, keys), losses = jax.lax.scan(body, (states, keys), idx)
+        return states, keys, losses
+
+    class _MultiDistillEpoch:
+        def __call__(self, states, dataset, idx, keys):
+            return _epoch(teacher_variables, states, dataset, idx, keys)
+
+        def lower(self, states, dataset, idx, keys):
+            return _epoch.lower(teacher_variables, states, dataset, idx, keys)
+
+    return _MultiDistillEpoch()

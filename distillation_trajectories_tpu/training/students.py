@@ -43,7 +43,10 @@ from .state import (
     epoch_scan_enabled as _epoch_scan_enabled,
     make_distill_epoch_fn,
     make_distill_train_step,
+    make_multi_distill_epoch_fn,
     make_optimizer,
+    stack_train_states,
+    unstack_train_state,
 )
 
 
@@ -341,6 +344,103 @@ def distill_diffusion_model(
     return student_model, {"params": state.params, "batch_stats": state.batch_stats}
 
 
+def _distill_group_vmapped(
+    teacher_model,
+    teacher_variables,
+    config,
+    size_factors: List[float],
+    prebuilt: Dict[float, dict],
+    multi_epoch_fn,
+    writer: AsyncCheckpointWriter,
+) -> Dict[float, Tuple[object, dict]]:
+    """Train an identical-architecture student group as ONE batched graph.
+
+    Per-member artifacts (metrics jsonl, checkpoints, end-of-training
+    sample grids) match the sequential trainer's file contracts exactly;
+    the logged epoch ``seconds`` is the GROUP epoch wall (the members train
+    simultaneously).  See state.make_multi_distill_epoch_fn for the parity
+    contract.
+    """
+    sfs = list(size_factors)
+    builts = [prebuilt[sf] for sf in sfs]
+    model = builts[0]["model"]
+    states = stack_train_states([b["state"] for b in builts])
+    keys = jnp.stack([b["key"] for b in builts])
+    loader = builts[0]["loader"]
+    dataset_dev = builts[0]["dataset_dev"]
+    logs = {
+        sf: MetricsLogger(os.path.join(
+            config.results_dir, f"distill_metrics_size_{sf}.jsonl"))
+        for sf in sfs
+    }
+    print(f"[distill group {sfs}] one vmapped graph "
+          f"({len(sfs)} members, shared architecture)")
+
+    from ..utils.compile_pool import arm_watchdog, cancel_watchdog
+
+    try:
+        for epoch in range(config.epochs):
+            t0 = time.time()
+            arm_watchdog(1800.0 if epoch == 0 else 600.0)
+            idx = loader.epoch_indices(config.limit_batches_per_epoch)
+            with phase_timer(f"distill_epoch_group{sfs}"):
+                states, keys, losses = multi_epoch_fn(
+                    states, dataset_dev, idx, keys)
+                losses_host = jax.device_get(losses)  # [n_batches, N]
+            secs = time.time() - t0
+            for j, sf in enumerate(sfs):
+                avg_loss = (float(np.mean(losses_host[:, j]))
+                            if losses_host.size else 0.0)
+                print(f"[distill sf={sf}] epoch {epoch + 1}/{config.epochs} "
+                      f"avg loss {avg_loss:.6f} ({secs:.1f}s group wall)")
+                logs[sf].log("epoch", epoch=epoch + 1, size_factor=sf,
+                             avg_loss=avg_loss, seconds=secs)
+
+            if (epoch + 1) % config.save_interval == 0 \
+                    or epoch == config.epochs - 1:
+                for j, sf in enumerate(sfs):
+                    member = unstack_train_state(states, j)
+                    writer.save(
+                        config.student_dir(sf),
+                        epoch + 1,
+                        member.params,
+                        batch_stats=member.batch_stats,
+                        opt_state=member.opt_state,
+                    )
+                if epoch == config.epochs - 1 \
+                        and config.num_samples_to_generate > 0:
+                    grid_fn = builts[0]["grid_fn"]
+                    for j, sf in enumerate(sfs):
+                        member = unstack_train_state(states, j)
+                        _, sample_key = jax.random.split(keys[j])
+                        with phase_timer("students/grid"):
+                            samples = np.asarray(grid_fn(
+                                member.params, member.batch_stats,
+                                sample_key,
+                            ))
+                        save_image_grid(
+                            samples,
+                            os.path.join(
+                                config.results_dir,
+                                f"student_samples_size_{sf}_"
+                                f"epoch_{epoch + 1}.png",
+                            ),
+                            nrow=config.samples_grid_size,
+                            figsize=config.samples_figure_size,
+                        )
+    finally:
+        cancel_watchdog()
+        for log in logs.values():
+            log.close()
+
+    out: Dict[float, Tuple[object, dict]] = {}
+    for j, sf in enumerate(sfs):
+        member = unstack_train_state(states, j)
+        out[sf] = (model, {"params": member.params,
+                           "batch_stats": member.batch_stats})
+    return out
+
+
 def load_teacher(config, epoch: Optional[int] = None):
     """Load the teacher model + variables from its checkpoint directory.
 
@@ -442,6 +542,8 @@ def train_students(
     # wall-clock (SWEEP_r02: 13 serial compiles ≈ 80% of the stage).
     prebuilt: Dict[float, dict] = {}
     compile_pool = None
+    vmap_group_of: Dict[float, tuple] = {}
+    group_info: Dict[tuple, tuple] = {}
     if len(size_factors) > 1 and os.environ.get("DTT_PRECOMPILE", "1") != "0":
         from ..utils.compile_pool import AsyncCompilePool, compile_concurrently
 
@@ -545,6 +647,36 @@ def train_students(
         # mesh and single-device paths — lower with a plain key to match.
         grid_key = jax.random.PRNGKey(0)
 
+        # Identical-architecture groups train as ONE vmapped graph
+        # (Config.vmap_students, state.make_multi_distill_epoch_fn): the
+        # group's single-student epoch fns are then never dispatched — the
+        # group needs ONE epoch executable instead of N dispatch chains.
+        # Epoch-scan path only; the sharded-checkpoint lane keeps the
+        # sequential trainer (its save path is per-member device-sharded).
+        if (use_scan and getattr(config, "vmap_students", True)
+                and not config.checkpoint_sharded):
+            by_arch: Dict[tuple, List[float]] = {}
+            for size_factor in size_factors:
+                by_arch.setdefault(arch_of[size_factor], []).append(
+                    size_factor)
+            teacher_params_d = get_diffusion_params(
+                config.teacher_steps, config)
+            for arch, sfs in by_arch.items():
+                if len(sfs) < 2:
+                    continue
+                multi_fn = make_multi_distill_epoch_fn(
+                    teacher_model,
+                    teacher_variables,
+                    prebuilt[sfs[0]]["model"],
+                    make_optimizer(config),
+                    teacher_params_d,
+                    config.teacher_steps,
+                    config.student_steps,
+                )
+                group_info[arch] = (multi_fn, sfs)
+                for sf in sfs:
+                    vmap_group_of[sf] = arch
+
         # COMPILE-AHEAD pool (round-5 cut): graphs are traced up front
         # (serial — interleaved tracing starves this 1-core host) but
         # compile in the background WHILE earlier students train: training
@@ -565,7 +697,13 @@ def train_students(
         producer_map: Dict[float, list] = {}
         for size_factor, b in prebuilt.items():
             items = []
-            if use_scan:
+            if size_factor in vmap_group_of:
+                mf, sfs = group_info[vmap_group_of[size_factor]]
+                items.append(_once(mf, lambda mf=mf, sfs=sfs: mf.lower(
+                    stack_train_states([prebuilt[s]["state"] for s in sfs]),
+                    dataset_dev, idx_aval,
+                    jnp.stack([prebuilt[s]["key"] for s in sfs]))))
+            elif use_scan:
                 ef = b["epoch_fn"]
                 items.append(_once(ef, lambda ef=ef, b=b: ef.lower(
                     b["state"], dataset_dev, idx_aval, key_example)))
@@ -597,6 +735,8 @@ def train_students(
     writer = AsyncCheckpointWriter()
     try:
         for size_factor in size_factors:
+            if size_factor in students:
+                continue  # trained as part of an earlier vmapped group
             print(
                 f"\nDistilling to student model with size factor {size_factor}..."
             )
@@ -606,6 +746,18 @@ def train_students(
                 if waited > 0.5:
                     print(f"[students] sf={size_factor}: waited "
                           f"{waited:.1f}s for its executables")
+            if size_factor in vmap_group_of:
+                multi_fn, sfs = group_info[vmap_group_of[size_factor]]
+                students.update(_distill_group_vmapped(
+                    teacher_model,
+                    teacher_variables,
+                    config,
+                    sfs,
+                    prebuilt,
+                    multi_fn,
+                    writer,
+                ))
+                continue
             students[size_factor] = distill_diffusion_model(
                 teacher_model,
                 teacher_variables,

@@ -5,6 +5,7 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from distillation_trajectories_tpu.diffusion import get_diffusion_params
 from distillation_trajectories_tpu.models import make_unet, init_unet
@@ -425,3 +426,79 @@ def test_epoch_indices_match_iterator(test_config):
         for row, (batch_images, batch_labels) in zip(idx, iterated):
             np.testing.assert_array_equal(images[row], batch_images)
             np.testing.assert_array_equal(labels[row], batch_labels)
+
+
+@pytest.mark.slow
+def test_vmapped_group_matches_sequential(test_config):
+    """Identical-architecture students trained as ONE vmapped graph
+    (Config.vmap_students, state.make_multi_distill_epoch_fn) produce the
+    SAME per-student losses and params as the sequential trainer — the
+    member axis is a layout decision, never a semantics change."""
+    import dataclasses
+    import json
+
+    import jax
+
+    from distillation_trajectories_tpu.models import make_unet, init_unet
+    from distillation_trajectories_tpu.training import save_checkpoint
+    from distillation_trajectories_tpu.training.students import train_students
+
+    cfg = test_config
+    cfg.epochs = 2
+    cfg.limit_batches_per_epoch = 2
+    cfg.num_samples_to_generate = 4
+    cfg.samples_grid_size = 2
+
+    teacher = make_unet(cfg, size_factor=1.0)
+    tvars = init_unet(teacher, cfg, jax.random.PRNGKey(7))
+    save_checkpoint(cfg.teacher_models_dir, 1, tvars["params"],
+                    batch_stats=tvars["batch_stats"])
+
+    # 0.01 and 0.05 floor to the SAME U-Net (dims AND time_emb_dim);
+    # 0.25 stays a distinct arch and must train sequentially alongside.
+    sfs = [0.01, 0.05, 0.25]
+    a = make_unet(cfg, size_factor=0.01)
+    b = make_unet(cfg, size_factor=0.05)
+    assert (a.dims, a.time_emb_dim) == (b.dims, b.time_emb_dim)
+
+    vm = train_students(cfg, custom_size_factors=sfs, seed=0)
+    vm_losses = {}
+    for sf in sfs:
+        path = os.path.join(cfg.results_dir,
+                            f"distill_metrics_size_{sf}.jsonl")
+        with open(path) as f:
+            vm_losses[sf] = [json.loads(l)["avg_loss"] for l in f
+                             if "avg_loss" in l]
+        # Per-member artifacts keep the sequential trainer's contracts.
+        assert os.path.exists(os.path.join(
+            cfg.student_dir(sf), f"model_epoch_{cfg.epochs}.msgpack"))
+        assert os.path.exists(os.path.join(
+            cfg.results_dir,
+            f"student_samples_size_{sf}_epoch_{cfg.epochs}.png"))
+
+    cfg_seq = dataclasses.replace(
+        cfg, vmap_students=False, base_dir=str(cfg.base_dir) + "_seq")
+    cfg_seq.create_directories()
+    save_checkpoint(cfg_seq.teacher_models_dir, 1, tvars["params"],
+                    batch_stats=tvars["batch_stats"])
+    seq = train_students(cfg_seq, custom_size_factors=sfs, seed=0)
+
+    for sf in sfs:
+        path = os.path.join(cfg_seq.results_dir,
+                            f"distill_metrics_size_{sf}.jsonl")
+        with open(path) as f:
+            seq_losses = [json.loads(l)["avg_loss"] for l in f
+                          if "avg_loss" in l]
+        # Two-pronged parity, same rationale as the SPMD dryrun
+        # (__graft_entry__.py): losses tight (a semantics bug shows up in
+        # the loss immediately), params loose (vmapped convs change
+        # summation order; Adam amplifies the drift on near-zero second
+        # moments).
+        np.testing.assert_allclose(
+            vm_losses[sf], seq_losses, rtol=1e-5,
+            err_msg=f"sf={sf} losses diverged between vmapped and sequential")
+        for x, y in zip(jax.tree_util.tree_leaves(vm[sf][1]["params"]),
+                        jax.tree_util.tree_leaves(seq[sf][1]["params"])):
+            np.testing.assert_allclose(
+                np.asarray(x), np.asarray(y), rtol=2e-2, atol=5e-4,
+                err_msg=f"sf={sf} params diverged")
