@@ -151,6 +151,14 @@ class Config:
     # Pallas kernel (ops/cfg_update.py) instead of jnp ops.  Off by default;
     # measured on-chip numbers in PERFORMANCE.md decide whether it stays.
     pallas_cfg_update: bool = False
+    # Spatial (image-H) partitioning for the sampler forwards: a
+    # (data, spatial) mesh shape, e.g. (1, 8) shards every activation's H
+    # axis 8-way with GSPMD halo exchange around the 3×3 convs — the lane
+    # for images whose activations exceed one chip's HBM
+    # (parallel/spatial.py; per-level constraints re-replicate sub-window
+    # levels).  None (default) = unsharded reference-parity sampling.
+    # Mutually exclusive with sampler_quant="int8".
+    spatial_shape: Optional[Tuple[int, int]] = None
     # Quantized-inference lane for the trajectory samplers: "none" (default,
     # reference-parity numerics) or "int8" — fold eval BatchNorm into the
     # Block convs and run them int8×int8→int32 on the MXU (2× bf16 peak on

@@ -166,3 +166,32 @@ def test_spatial_halo_exchange_in_hlo(test_config):
         "input-sized activations are all-gathered (halo layout regressed "
         "to full regathers):\n" + "\n".join(bad[:5])
     )
+
+
+def test_generate_trajectory_spatial_config(test_config):
+    """Config.spatial_shape routes the PRODUCT sampler (engine
+    generate_trajectory) through the spatially partitioned forward: output
+    equals the unsharded run and the trajectory stays row-sharded."""
+    import dataclasses
+
+    from distillation_trajectories_tpu.trajectories.engine import (
+        generate_trajectory,
+    )
+
+    model, variables, x = _model_and_batch(test_config, rng_seed=4)
+    ref = generate_trajectory(model, variables, x, test_config.timesteps,
+                              seed=3, guidance_scale=2.0,
+                              config=test_config)
+    sp_cfg = dataclasses.replace(test_config, spatial_shape=(2, 4))
+    traj = generate_trajectory(model, variables, x, test_config.timesteps,
+                               seed=3, guidance_scale=2.0, config=sp_cfg)
+    assert traj.sharding.spec[1:3] == (DATA_AXIS, SPATIAL_AXIS)
+    np.testing.assert_allclose(np.asarray(traj), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+    # int8 + spatial cannot combine (the quantized forward bypasses the
+    # Block modules the constraints intercept).
+    bad = dataclasses.replace(sp_cfg, sampler_quant="int8")
+    with pytest.raises(ValueError, match="spatial"):
+        generate_trajectory(model, variables, x, test_config.timesteps,
+                            seed=3, config=bad)
