@@ -20,7 +20,7 @@ import numpy as np
 
 from ..analysis.dimensionality import pca_fit_transform
 from ..diffusion import get_diffusion_params
-from ..training.state import make_eval_model_fn
+from ..training.state import make_eval_fn_from_config
 from .core import denoise_with_trajectory, to_image
 
 
@@ -29,7 +29,7 @@ def generate_image_with_latents(
 ):
     """Generate one image, returning (image[0,1], final_latent, trajectory)
     (reference latent_manipulation.py:96-149)."""
-    model_fn = make_eval_model_fn(model, variables)
+    model_fn = make_eval_fn_from_config(model, variables, config)
     dp = get_diffusion_params(config.timesteps, config)
     key = jax.random.PRNGKey(seed)
     key, nk = jax.random.split(key)
@@ -56,7 +56,7 @@ def apply_latent_manipulation(
 ) -> Dict:
     """Manipulate a latent by ``strength·direction`` and re-denoise from T/2
     (reference latent_manipulation.py:151-215)."""
-    model_fn = make_eval_model_fn(model, variables)
+    model_fn = make_eval_fn_from_config(model, variables, config)
     dp = get_diffusion_params(config.timesteps, config)
     key = jax.random.PRNGKey(seed + 1)
 
@@ -95,7 +95,7 @@ def find_semantic_directions(
 ) -> Dict[str, np.ndarray]:
     """PCA(10) over final latents of ``num_samples`` generated images
     (reference latent_manipulation.py:217-258) — one vmapped batch."""
-    model_fn = make_eval_model_fn(model, variables)
+    model_fn = make_eval_fn_from_config(model, variables, config)
     dp = get_diffusion_params(config.timesteps, config)
 
     def one(seed):

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..diffusion import get_diffusion_params
-from ..training.state import make_eval_model_fn
+from ..training.state import make_eval_fn_from_config
 from .core import denoise_with_trajectory, to_image
 
 
@@ -56,7 +56,7 @@ def apply_masked_inpainting(
     (:159-218).  Returns original/inpainted images, mask, and optionally the
     trajectory.
     """
-    model_fn = make_eval_model_fn(model, variables)
+    model_fn = make_eval_fn_from_config(model, variables, config)
     dp = get_diffusion_params(config.timesteps, config)
     key = jax.random.PRNGKey(seed)
 

@@ -16,14 +16,14 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..diffusion import get_diffusion_params
-from ..training.state import make_eval_model_fn
+from ..training.state import make_eval_fn_from_config
 from .core import denoise_with_trajectory, to_image
 
 
 def generate_image_with_trajectory(model, config, variables=None, seed: int = 0, mode: str = "engine"):
     """One unconditional generation with trajectory capture
     (reference prompt_editing.py:66-120)."""
-    model_fn = make_eval_model_fn(model, variables)
+    model_fn = make_eval_fn_from_config(model, variables, config)
     dp = get_diffusion_params(config.timesteps, config)
     key = jax.random.PRNGKey(seed)
     key, nk = jax.random.split(key)

@@ -4,6 +4,7 @@ from .state import (
     create_train_state,
     make_optimizer,
     make_eval_model_fn,
+    make_eval_fn_from_config,
     make_teacher_train_step,
     make_distill_train_step,
 )

@@ -63,6 +63,45 @@ def make_eval_model_fn(model, variables) -> Callable:
     return model_fn
 
 
+def make_eval_fn_from_config(model, variables, config) -> Callable:
+    """Config-aware eval forward: the single dispatcher every eval consumer
+    (trajectory engine, editing flows) routes through.
+
+    * ``Config.sampler_quant="int8"`` — the folded/quantized forward
+      (models/quantized.py); call in a traced context so the fold/quant ops
+      stay inside the caller's jitted graph.
+    * ``Config.spatial_shape=(d, s)`` — the spatially partitioned forward
+      (parallel/spatial.py): image rows sharded s-way with GSPMD halo
+      exchange, the beyond-HBM big-image lane for sampling AND editing.
+    * default — the plain eval forward.
+
+    The two opt-ins are mutually exclusive: the quantized forward bypasses
+    the Block modules the spatial constraints intercept.
+    """
+    spatial = config is not None and getattr(config, "spatial_shape", None)
+    if config is not None and getattr(config, "sampler_quant", "none") == "int8":
+        if spatial:
+            raise ValueError(
+                "spatial_shape and sampler_quant='int8' cannot combine: the "
+                "quantized forward bypasses the Block modules the spatial "
+                "constraints intercept"
+            )
+        from ..models.quantized import make_quantized_eval_fn
+
+        return make_quantized_eval_fn(model, variables)
+    if spatial:
+        from ..parallel.spatial import make_spatial_forward, make_spatial_mesh
+
+        mesh = make_spatial_mesh(tuple(spatial))
+        fwd = make_spatial_forward(model, mesh)
+
+        def model_fn(x, t, cond=None, cond_mask=None):
+            return fwd(variables, x, t, cond, cond_mask)
+
+        return model_fn
+    return make_eval_model_fn(model, variables)
+
+
 def _train_apply(model, params, batch_stats, x, t, cond, cond_mask, dropout_key):
     """One train-mode forward, returning (output, updated batch_stats)."""
     out, mutated = model.apply(

@@ -44,39 +44,12 @@ def _store_dtype(config):
 
 
 def _eval_fn(model, variables, config):
-    """``make_eval_model_fn`` or one of its drop-ins.
+    """Config-aware eval forward (state.make_eval_fn_from_config): plain,
+    int8-quantized (``Config.sampler_quant``) or spatially partitioned
+    (``Config.spatial_shape``)."""
+    from ..training.state import make_eval_fn_from_config
 
-    ``Config.sampler_quant="int8"`` routes the sampler forwards through the
-    folded/quantized U-Net (models/quantized.py) — call only in a traced
-    context so the fold/quant ops stay inside the sampler's jitted graph.
-    ``Config.spatial_shape=(d, s)`` routes them through the spatially
-    partitioned forward (parallel/spatial.py) — image rows sharded s-way
-    with GSPMD halo exchange, the beyond-HBM big-image lane.  The two are
-    mutually exclusive (the quantized forward bypasses the Block modules
-    the spatial constraints hook).
-    """
-    spatial = config is not None and getattr(config, "spatial_shape", None)
-    if config is not None and getattr(config, "sampler_quant", "none") == "int8":
-        if spatial:
-            raise ValueError(
-                "spatial_shape and sampler_quant='int8' cannot combine: the "
-                "quantized forward bypasses the Block modules the spatial "
-                "constraints intercept"
-            )
-        from ..models.quantized import make_quantized_eval_fn
-
-        return make_quantized_eval_fn(model, variables)
-    if spatial:
-        from ..parallel.spatial import make_spatial_forward, make_spatial_mesh
-
-        mesh = make_spatial_mesh(tuple(spatial))
-        fwd = make_spatial_forward(model, mesh)
-
-        def model_fn(x, t, cond=None, cond_mask=None):
-            return fwd(variables, x, t, cond, cond_mask)
-
-        return model_fn
-    return make_eval_model_fn(model, variables)
+    return make_eval_fn_from_config(model, variables, config)
 
 
 def generate_trajectory(

@@ -195,3 +195,28 @@ def test_generate_trajectory_spatial_config(test_config):
     with pytest.raises(ValueError, match="spatial"):
         generate_trajectory(model, variables, x, test_config.timesteps,
                             seed=3, config=bad)
+
+
+def test_editing_inpainting_spatial_config(test_config):
+    """Config.spatial_shape reaches the editing flows (the lane's motivating
+    use: beyond-HBM images for inpainting/editing): inpainting under a
+    (1, 4) spatial mesh equals the unsharded run."""
+    import dataclasses
+
+    from distillation_trajectories_tpu.editing.masked_inpainting import (
+        apply_masked_inpainting,
+    )
+
+    model, variables, _ = _model_and_batch(test_config)
+    img = np.random.default_rng(5).uniform(
+        size=(16, 16, 1)).astype(np.float32)
+    ref = apply_masked_inpainting(
+        model, test_config, img, variables=variables, seed=2,
+        record_trajectory=False)
+    sp_cfg = dataclasses.replace(test_config, spatial_shape=(1, 4))
+    got = apply_masked_inpainting(
+        model, sp_cfg, img, variables=variables, seed=2,
+        record_trajectory=False)
+    np.testing.assert_allclose(
+        np.asarray(got["inpainted_image"]), np.asarray(ref["inpainted_image"]),
+        rtol=2e-4, atol=2e-4)
