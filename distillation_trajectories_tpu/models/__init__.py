@@ -5,6 +5,7 @@ from .unet import (
     StudentUNet,
     make_unet,
     init_unet,
+    make_init_fn,
     param_count,
     param_size_mb,
     sinusoidal_time_embedding,

@@ -292,3 +292,34 @@ def test_train_students_cli_sweep_parallel(tmp_path, monkeypatch):
     assert os.path.exists(
         os.path.join(cfg.student_dir(0.25), "model_epoch_1.msgpack")
     )
+
+
+def test_train_students_accel_init_pool_branch(tmp_path, capsys, monkeypatch):
+    """The concurrent init-compile pre-pass only runs on accelerator
+    backends, so the CPU suite never executed it — round 5 shipped a broken
+    import on exactly that branch (caught by a CLI rehearsal, not a test).
+    Force the branch on CPU and run the sweep end-to-end through it."""
+    from distillation_trajectories_tpu.training import save_checkpoint
+    from distillation_trajectories_tpu.training import students as st
+    from distillation_trajectories_tpu.training.students import train_students
+
+    cfg = _tiny_config(tmp_path)
+    teacher = make_unet(cfg, size_factor=1.0)
+    teacher_vars = init_unet(teacher, cfg, jax.random.PRNGKey(7))
+    save_checkpoint(cfg.teacher_models_dir, 1, teacher_vars["params"],
+                    batch_stats=teacher_vars["batch_stats"])
+
+    # faulthandler can't use pytest's captured stderr (no fileno), and the
+    # fake backend defeats arm_watchdog's CPU no-op guard — neutralize it.
+    from distillation_trajectories_tpu.utils import compile_pool as cp
+
+    monkeypatch.setattr(cp, "arm_watchdog", lambda *a, **k: None)
+    monkeypatch.setattr(cp, "cancel_watchdog", lambda: None)
+    monkeypatch.setattr(st.jax, "default_backend", lambda: "fake-accel")
+    students = train_students(cfg, custom_size_factors=[0.25, 0.1], seed=0)
+    out = capsys.readouterr().out
+    assert "student inits x2" in out, out[-800:]
+    assert set(students) == {0.25, 0.1}
+    for sf in (0.25, 0.1):
+        leaves = jax.tree_util.tree_leaves(students[sf][1]["params"])
+        assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
