@@ -229,29 +229,7 @@ def main():
             # attempts are all inside the stage wall).
             retry_extra_args=["--skip_existing"],
         )
-        # Wall-clock attribution for the stage (VERDICT r4 #5: the next
-        # lever is invisible without a compile/train/checkpoint split):
-        # train_students dumps per-phase totals; embed them in the record.
-        phases_path = os.path.join(
-            log_dir, "students_phase_times.json")
-        if os.path.exists(phases_path) and (
-                # Stale-file guard: only embed a dump written by THIS stage.
-                os.path.getmtime(phases_path)
-                >= time.time() - stages["students"]["seconds"] - 120):
-            try:
-                with open(phases_path) as f:
-                    phases = json.load(f)
-                train_s = sum(
-                    v["total_s"] for k, v in phases.items()
-                    if k.startswith("distill_epoch_"))
-                stages["students"]["phases"] = {
-                    "train_epochs_s": round(train_s, 1),
-                    **{k.split("/", 1)[1] + "_s": round(v["total_s"], 1)
-                       for k, v in phases.items()
-                       if k.startswith("students/")},
-                }
-            except Exception as e:
-                stages["students"]["phases"] = {"error": str(e)[:200]}
+        _embed_students_phases(log_dir, stages["students"])
         if not stages["students"]["ok"]:
             _write(args.tag, stages, t_start, ok=False, weights=weights_lanes)
             sys.exit(1)
@@ -307,6 +285,35 @@ def main():
     _write(args.tag, stages, t_start, ok=ok, probe=probe,
            weights=weights_lanes)
     sys.exit(0 if ok else 1)
+
+
+def _embed_students_phases(log_dir, stage_record):
+    """Wall-clock attribution for the students stage (VERDICT r4 #5: the
+    next lever is invisible without a compile/train/checkpoint split):
+    train_students dumps per-phase totals; embed them in the stage record
+    as ``phases`` — train_epochs_s plus one entry per ``students/*`` phase
+    (init/build/compile-trace/compile-wait/checkpoint walls)."""
+    phases_path = os.path.join(log_dir, "students_phase_times.json")
+    if not os.path.exists(phases_path):
+        return
+    # Stale-file guard: only embed a dump written by THIS stage.
+    if (os.path.getmtime(phases_path)
+            < time.time() - stage_record["seconds"] - 120):
+        return
+    try:
+        with open(phases_path) as f:
+            phases = json.load(f)
+        train_s = sum(
+            v["total_s"] for k, v in phases.items()
+            if k.startswith("distill_epoch_"))
+        stage_record["phases"] = {
+            "train_epochs_s": round(train_s, 1),
+            **{k.split("/", 1)[1] + "_s": round(v["total_s"], 1)
+               for k, v in phases.items()
+               if k.startswith("students/")},
+        }
+    except Exception as e:
+        stage_record["phases"] = {"error": str(e)[:200]}
 
 
 def _write(tag, stages, t_start, ok, probe=None, weights=None):

@@ -146,3 +146,36 @@ def test_job_marginal_parses_last_occurrence(tmp_path):
     # absent job / missing file -> 0.0 (combined wall stays on cfg_sweep)
     assert rfs._job_marginal(str(log), label="nope") == 0.0
     assert rfs._job_marginal(str(tmp_path / "nope.log"), label="trio") == 0.0
+
+
+def test_embed_students_phases(tmp_path):
+    """The students stage record embeds the phase split (train vs init vs
+    compile vs checkpoint walls) from students_phase_times.json, with a
+    stale-file guard."""
+    mod = importlib.import_module("run_full_sweep")
+    phases = {
+        "students/init_unet": {"count": 13, "total_s": 196.5, "mean_s": 15.1},
+        "students/compile_trace": {"count": 1, "total_s": 70.0, "mean_s": 70.0},
+        "students/compile_wait": {"count": 13, "total_s": 40.0, "mean_s": 3.1},
+        "distill_epoch_sf0.1": {"count": 5, "total_s": 2.0, "mean_s": 0.4},
+        "distill_epoch_group[0.01, 0.05]": {"count": 5, "total_s": 3.0,
+                                            "mean_s": 0.6},
+        "unrelated_phase": {"count": 1, "total_s": 9.9, "mean_s": 9.9},
+    }
+    p = tmp_path / "students_phase_times.json"
+    p.write_text(json.dumps(phases))
+
+    rec = {"ok": True, "seconds": 100.0}
+    mod._embed_students_phases(str(tmp_path), rec)
+    assert rec["phases"]["train_epochs_s"] == 5.0
+    assert rec["phases"]["init_unet_s"] == 196.5
+    assert rec["phases"]["compile_trace_s"] == 70.0
+    assert rec["phases"]["compile_wait_s"] == 40.0
+    assert "unrelated_phase_s" not in rec["phases"]
+
+    # Stale dump (older than the stage window) is NOT embedded.
+    old = time.time() - 10_000
+    os.utime(p, (old, old))
+    rec2 = {"ok": True, "seconds": 100.0}
+    mod._embed_students_phases(str(tmp_path), rec2)
+    assert "phases" not in rec2
