@@ -32,6 +32,11 @@ def main():
     parser.add_argument("--base_dir", type=str, default=None)
     parser.add_argument("--full_res_head", action="store_true")
     parser.add_argument("--noise_schedule", type=str, default=None)
+    parser.add_argument("--spatial", type=str, default=None,
+                        help="D,S: run the editing forwards spatially "
+                        "partitioned over a (data, spatial) mesh — image "
+                        "rows sharded S-way with GSPMD halo exchange, the "
+                        "beyond-HBM big-image lane (parallel/spatial.py)")
     parser.add_argument("--sample_mode", type=str, default="engine",
                         choices=["engine", "ancestral"])
     args = parser.parse_args()
@@ -55,6 +60,9 @@ def main():
     if args.noise_schedule:
         config.noise_schedule = args.noise_schedule
     config.timesteps = args.timesteps
+    if args.spatial:
+        config.spatial_shape = tuple(
+            int(x) for x in args.spatial.split(","))
     if args.dataset:
         config.dataset = args.dataset
     if args.image_size:
