@@ -144,6 +144,12 @@ def bench_reference_cpu() -> float:
 
     Times the fused-CFG forward (batch 2, trajectory_engine.py:68-80) and
     scales by T; the host-side update math is negligible in comparison.
+
+    Best-of-k timing: the per-forward time is the MIN over several small
+    batches, not one mean — on this 1-core host a contended measurement
+    only ever makes the reference look slower (committed values swung
+    0.34→0.50 traj/s run-to-run), and the least-interference estimate is
+    the honest (and for our ``vs_baseline`` ratio, conservative) one.
     """
     try:
         import torch
@@ -163,14 +169,19 @@ def bench_reference_cpu() -> float:
         with torch.no_grad():
             for _ in range(2):  # warmup
                 model(x, t, c)
-            n = 6
-            t0 = time.perf_counter()
-            for _ in range(n):
-                model(x, t, c)
-            step_time = (time.perf_counter() - t0) / n
+            n, k = 3, 5
+            step_time = float("inf")
+            for _ in range(k):
+                t0 = time.perf_counter()
+                for _ in range(n):
+                    model(x, t, c)
+                step_time = min(step_time, (time.perf_counter() - t0) / n)
         traj_per_sec = 1.0 / (T_STEPS * step_time)
         with open(CACHE, "w") as f:
-            json.dump({"ref_traj_per_sec_cpu": traj_per_sec}, f)
+            json.dump({"ref_traj_per_sec_cpu": traj_per_sec,
+                       "method": f"best-of-{k} batches of {n} forwards",
+                       "ts_iso": time.strftime("%Y-%m-%dT%H:%M:%S+0000",
+                                               time.gmtime())}, f)
         return traj_per_sec
     except Exception as e:
         print(f"# reference baseline measurement failed: {e}", file=sys.stderr)
