@@ -18,6 +18,7 @@ Counterpart of reference ``analysis/metrics/fid_score.py:19-318``:
 from __future__ import annotations
 
 import os
+import warnings
 from typing import Dict, Optional
 
 import jax
@@ -117,7 +118,12 @@ def calculate_fid(features1: np.ndarray, features2: np.ndarray) -> float:
 
     sigma1 = np.cov(features1, rowvar=False)
     sigma2 = np.cov(features2, rowvar=False)
-    covmean, _ = linalg.sqrtm(sigma1 @ sigma2, disp=False)
+    with warnings.catch_warnings():
+        # Match the old ``disp=False`` silence (the ``disp`` argument is
+        # deprecated since scipy 1.16): singular products warn but still
+        # return the best-effort root, exactly like the reference path.
+        warnings.simplefilter("ignore", linalg.LinAlgWarning)
+        covmean = linalg.sqrtm(sigma1 @ sigma2)
     if np.iscomplexobj(covmean):
         covmean = covmean.real  # complex-part guard (ref :82-85)
     return float(diff @ diff + np.trace(sigma1) + np.trace(sigma2) - 2 * np.trace(covmean))

@@ -2,6 +2,7 @@
 the analysis CLIs; the full Inception compile is too slow for the CPU suite)."""
 
 import os
+import warnings
 
 import jax.numpy as jnp
 import numpy as np
@@ -195,7 +196,9 @@ def test_fid_lowrank_fast_path_matches_sqrtm():
     mu1, mu2 = f1.mean(axis=0), f2.mean(axis=0)
     s1 = np.cov(f1, rowvar=False)
     s2 = np.cov(f2, rowvar=False)
-    covmean, _ = linalg.sqrtm(s1 @ s2, disp=False)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", linalg.LinAlgWarning)
+        covmean = linalg.sqrtm(s1 @ s2)
     if np.iscomplexobj(covmean):
         covmean = covmean.real
     diff = mu1 - mu2

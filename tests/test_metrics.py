@@ -28,7 +28,8 @@ def _reference_metrics(teacher, student):
     mse = np.mean((x[-1] - y[-1]) ** 2)
     m["mse"] = mse
     traj_mse = np.mean([np.mean((x[i] - y[i]) ** 2) for i in range(n)])
-    m["trajectory_mse"] = np.log1p(1.0 - traj_mse * 1000)
+    with np.errstate(invalid="ignore"):  # NaN for mse > ~1e-3 is the
+        m["trajectory_mse"] = np.log1p(1.0 - traj_mse * 1000)  # ref's quirk
     pd = [np.linalg.norm(x[i] - y[i]) for i in range(n)]
     m["point_by_point_similarity"] = np.exp(-5.0 * np.mean(pd))
     m["log_mse_similarity"] = max(0, 1.0 - np.log1p(mse * 5000) / np.log1p(5000))
