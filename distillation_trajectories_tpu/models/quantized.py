@@ -214,18 +214,18 @@ def _qblock(
     s_in = scales.get("in") if scales else None
     xq, s_x = _aquant(x, s_in) if quant else (x, None)
     if "residual" in blk:
-        residual = _qconv(blk["residual"], xq, s_x, ((0, 0), (0, 0)))
+        residual = _qconv(blk["residual"], xq, s_x, ((0, 0), (0, 0)), dtype)
     else:
         residual = x.astype(jnp.float32)
 
-    h = jax.nn.relu(_qconv(blk["conv1"], xq, s_x, pad1))
+    h = jax.nn.relu(_qconv(blk["conv1"], xq, s_x, pad1, dtype))
     t_bias = jax.nn.relu(_dense(blk["time_mlp"], temb, dtype)).astype(jnp.float32)
     h = h + t_bias[:, None, None, :]
     if collect is not None:
         collect[f"{name}:mid"] = jnp.max(jnp.abs(h)).astype(jnp.float32)
     s_mid = scales.get("mid") if scales else None
     hq, s_h = _aquant(h, s_mid) if quant else (h, None)
-    h = jax.nn.relu(_qconv(blk["conv2"], hq, s_h, pad1))
+    h = jax.nn.relu(_qconv(blk["conv2"], hq, s_h, pad1, dtype))
     return (h + residual).astype(dtype)
 
 

@@ -55,8 +55,13 @@ def run_train_epoch(
     log_label: str,
     log_every: int,
     loss_fmt: str = ".5f",
+    reduce_loss: bool = True,
 ):
     """Run ONE training epoch; returns ``(state, key, avg_loss, n_batches)``.
+
+    ``reduce_loss=False`` returns the fetched per-step loss ARRAY in place
+    of ``avg_loss`` (still empty-guarded) — the multi-student vmapped lane
+    needs per-member means from a ``[n_batches, N]`` loss matrix.
 
     Scan mode (``use_scan``): one jitted dispatch over the whole epoch
     against the device-resident ``dataset_dev``; losses stay on device
@@ -76,6 +81,8 @@ def run_train_epoch(
         idx = loader.epoch_indices(config.limit_batches_per_epoch)
         state, key, losses_dev = epoch_fn(state, dataset_dev, idx, key)
         losses_host = jax.device_get(losses_dev)
+        if not reduce_loss:
+            return state, key, losses_host, int(idx.shape[0])
         avg_loss = float(np.mean(losses_host)) if len(losses_host) else 0.0
         return state, key, avg_loss, int(idx.shape[0])
 
@@ -104,5 +111,8 @@ def run_train_epoch(
                     f"{log_label} batch {batch_idx + 1}/{len(loader)} "
                     f"loss {running:{loss_fmt}}"
                 )
-    avg_loss = float(np.mean(jax.device_get(losses))) if losses else 0.0
+    losses_host = np.asarray(jax.device_get(losses)) if losses else np.zeros(0)
+    if not reduce_loss:
+        return state, key, losses_host, len(losses)
+    avg_loss = float(np.mean(losses_host)) if losses else 0.0
     return state, key, avg_loss, len(losses)

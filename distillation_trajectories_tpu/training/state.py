@@ -427,20 +427,17 @@ def make_multi_distill_epoch_fn(
 
     @partial(jax.jit, donate_argnums=(1,))
     def _epoch(t_vars, states, dataset, idx, keys):
-        def body(carry, batch_idx):
-            states, keys = carry
-            images = jnp.take(dataset, batch_idx, axis=0)
+        # vmap of the ONE epoch driver (_scan_epoch) over the member axis:
+        # the key-split sequence and empty-epoch semantics are inherited,
+        # not re-inlined, so they cannot drift from the sequential lane.
+        def member_epoch(state, key):
+            return _scan_epoch(
+                lambda s, images, sk: core(t_vars, s, images, sk),
+                state, dataset, idx, key,
+            )
 
-            def per_student(state, key):
-                key, step_key = jax.random.split(key)
-                state, loss = core(t_vars, state, images, step_key)
-                return state, key, loss
-
-            states, keys, losses = jax.vmap(per_student)(states, keys)
-            return (states, keys), losses
-
-        (states, keys), losses = jax.lax.scan(body, (states, keys), idx)
-        return states, keys, losses
+        states, keys, losses = jax.vmap(member_epoch)(states, keys)
+        return states, keys, losses.T  # [n_batches, N]
 
     class _MultiDistillEpoch:
         def __call__(self, states, dataset, idx, keys):

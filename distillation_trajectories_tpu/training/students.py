@@ -382,11 +382,18 @@ def _distill_group_vmapped(
         for epoch in range(config.epochs):
             t0 = time.time()
             arm_watchdog(1800.0 if epoch == 0 else 600.0)
-            idx = loader.epoch_indices(config.limit_batches_per_epoch)
             with phase_timer(f"distill_epoch_group{sfs}"):
-                states, keys, losses = multi_epoch_fn(
-                    states, dataset_dev, idx, keys)
-                losses_host = jax.device_get(losses)  # [n_batches, N]
+                # The ONE epoch driver (loop.run_train_epoch) handles the
+                # idx gather + dispatch + empty-epoch guard; unreduced
+                # losses come back as the [n_batches, N] member matrix.
+                states, keys, losses_host, _ = run_train_epoch(
+                    states, keys,
+                    use_scan=True, epoch_fn=multi_epoch_fn, train_step=None,
+                    loader=loader, dataset_dev=dataset_dev, config=config,
+                    mesh=None, progress_desc=f"distill group {sfs}",
+                    log_label=f"[distill group {sfs}]", log_every=0,
+                    reduce_loss=False,
+                )
             secs = time.time() - t0
             for j, sf in enumerate(sfs):
                 avg_loss = (float(np.mean(losses_host[:, j]))
@@ -768,11 +775,16 @@ def train_students(
                 ckpt_writer=writer,
             )
     finally:
-        if compile_pool is not None:
-            with phase_timer("students/compile_drain"):
-                compile_pool.close()
-        with phase_timer("students/ckpt_flush"):
-            writer.close()
+        # pool.close() re-raises the first failed compile (f.result());
+        # the nested finally guarantees queued checkpoint saves are still
+        # flushed (and their errors surfaced) even when the pool is red.
+        try:
+            if compile_pool is not None:
+                with phase_timer("students/compile_drain"):
+                    compile_pool.close()
+        finally:
+            with phase_timer("students/ckpt_flush"):
+                writer.close()
     # Wall-clock attribution for the sweep (init/build/grid/flush phases are
     # the "unaccounted" gap between epoch time and stage wall — see
     # PERFORMANCE.md's students-stage breakdown).

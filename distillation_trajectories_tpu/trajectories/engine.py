@@ -74,6 +74,15 @@ def generate_trajectory(
     """
     model_fn = _eval_fn(model, variables, config)
     dp = get_diffusion_params(timesteps, config)
+    if config is not None and getattr(config, "spatial_shape", None):
+        # Place the starting noise with the (data, spatial) layout BEFORE
+        # branching on the sampler, so both the scan and the sliding-window
+        # path start (and stay) row-sharded — and both hit the loud
+        # divisibility guard up front instead of a GSPMD surprise mid-jit.
+        from ..parallel.spatial import make_spatial_mesh, shard_batch_spatial
+
+        noise = shard_batch_spatial(
+            noise, make_spatial_mesh(tuple(config.spatial_shape)))
     if config is not None and getattr(config, "parallel_sampling", "off") == "window":
         from ..diffusion.parallel_sampling import sliding_window_trajectory
 
@@ -95,14 +104,6 @@ def generate_trajectory(
         )
         store = _store_dtype(config)
         return traj if store is None else traj.astype(store)
-    if config is not None and getattr(config, "spatial_shape", None):
-        # Place the starting noise with the (data, spatial) layout so the
-        # scan carry starts (and stays) row-sharded — guards divisibility
-        # up front too.
-        from ..parallel.spatial import make_spatial_mesh, shard_batch_spatial
-
-        noise = shard_batch_spatial(
-            noise, make_spatial_mesh(tuple(config.spatial_shape)))
     return generate_trajectory_scan(
         model_fn,
         jnp.asarray(noise),

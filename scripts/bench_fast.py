@@ -145,7 +145,9 @@ def main():
         arm_watchdog(900.0)
         try:
             t0 = time.perf_counter()
-            chain = np.asarray(run(vars_, noise, 0))  # compile + calib data
+            # One-element host read barriers the compile+first run without
+            # pulling the full [T+1,B,H,W,C] chain over the tunnel.
+            np.asarray(run(vars_, noise, 0)[-1, 0, 0, 0, :])
             compile_s = time.perf_counter() - t0
         finally:
             cancel_watchdog()
@@ -161,13 +163,13 @@ def main():
         tps = args.batch * args.iters / dt
         print(f"# {label}: {tps:.1f} traj/s (compile {compile_s:.1f}s)",
               file=sys.stderr)
-        return tps, compile_s, chain
+        return tps, compile_s
 
     # --- teacher CFG baseline ---
     t_run = make_run(teacher_fn_factory, args.teacher_steps,
                      guidance_scale=w)
-    t_tps, t_compile, _ = bench(t_run, teacher_vars,
-                                f"teacher CFG bf16 T{args.teacher_steps}")
+    t_tps, t_compile = bench(t_run, teacher_vars,
+                             f"teacher CFG bf16 T{args.teacher_steps}")
     arm_watchdog(600.0)
     try:
         # Quality reference chain: a separate seed shared with every arm.
@@ -176,11 +178,21 @@ def main():
         cancel_watchdog()
 
     # --- student arms ---
-    factories = {
-        "bf16": lambda v: make_guided_eval_fn(model, v, w),
-        "int8": lambda v: make_guided_eval_fn(model, v, w, quant="int8"),
-    }
+    # ONE kwargs table drives every guided-eval-fn construction (arm
+    # benches, w-sweep, FID) so adding an arm is a single edit; ``scales``
+    # is read at CALL time, i.e. after the calibration pass below set it.
     scales = None
+
+    def guided_fn(arm_name, wv, v):
+        kw = {
+            "bf16": {},
+            "int8": {"quant": "int8"},
+            "int8_static": {"quant": "int8", "act_scales": scales},
+            "int8_static_mixed": {"quant": "int8", "act_scales": scales,
+                                  "quant_blocks": mixed_blocks},
+        }[arm_name]
+        return make_guided_eval_fn(model, v, wv, **kw)
+
     results = {"teacher_cfg_bf16": {
         "steps": args.teacher_steps,
         "traj_per_s": round(t_tps, 2),
@@ -188,37 +200,45 @@ def main():
     }}
     arm_order = [a for a in ("bf16", "int8", "int8_static",
                              "int8_static_mixed") if a in arms]
+    runs = {}
     for arm in arm_order:
         if arm.startswith("int8_static") and scales is None:
-            # Calibrate on the student's own chain states (both the bf16
-            # arm's chain from seed 0 exists if bf16 ran first; otherwise
-            # generate one).  Host numpy in, host floats out.
-            cal_run = make_run(factories["bf16"], args.student_steps)
+            # Calibration chain from the bf16 student graph — reuse the
+            # bf16 arm's jitted run when it ran first (no retrace), and
+            # slice to the calibration batch ON DEVICE so only cb samples
+            # ride the tunnel, not the full [T+1, B, H, W, C] chain.
+            cal_run = runs.get("bf16") or make_run(
+                lambda v: guided_fn("bf16", w, v), args.student_steps)
+            cb = min(32, args.batch)
             arm_watchdog(900.0)
             try:
-                chain = np.asarray(cal_run(student_vars, noise, 0))
+                chain = np.asarray(cal_run(student_vars, noise, 0)[:, :cb])
             finally:
                 cancel_watchdog()
-            cb = min(32, args.batch)
             ss = args.student_steps
             idxs = sorted({0, ss // 4, ss // 2, (3 * ss) // 4, ss - 1})
-            xs = np.stack([chain[i][:cb] for i in idxs])
-            ts = np.stack([np.full((cb,), float(ss - 1 - i), np.float32)
-                           for i in idxs])
-            conds = np.full((len(idxs), cb, 1), w, np.float32)
-            masks = np.ones((len(idxs), cb, 1), np.float32)
+            # Calibrate at every w the record later evaluates (the w-sweep
+            # runs the best arm at each of these): the static scales must
+            # cover the highest-w activation profile, not just w=guidance.
+            cal_ws = sorted({w, *([float(x) for x in args.w_sweep.split(",")]
+                                  if args.w_sweep else [])})
+            xs, ts, conds, masks = [], [], [], []
+            for i in idxs:
+                for wv in cal_ws:
+                    xs.append(chain[i])
+                    ts.append(np.full((cb,), float(ss - 1 - i), np.float32))
+                    conds.append(np.full((cb, 1), wv, np.float32))
+                    masks.append(np.ones((cb, 1), np.float32))
             scales = calibrate_activation_scales(
-                model, student_vars, xs, ts, conds, masks)
-            print(f"# calibrated static scales on {len(idxs)} chain states",
-                  file=sys.stderr)
-            factories["int8_static"] = lambda v: make_guided_eval_fn(
-                model, v, w, quant="int8", act_scales=scales)
-            factories["int8_static_mixed"] = lambda v: make_guided_eval_fn(
-                model, v, w, quant="int8", act_scales=scales,
-                quant_blocks=mixed_blocks)
-        run = make_run(factories[arm], args.student_steps)
-        tps, compile_s, _ = bench(run, student_vars,
-                                  f"student {arm} T{args.student_steps}")
+                model, student_vars, np.stack(xs), np.stack(ts),
+                np.stack(conds), np.stack(masks))
+            print(f"# calibrated static scales on {len(idxs)} chain states "
+                  f"x {len(cal_ws)} w values", file=sys.stderr)
+        run = make_run(lambda v, a=arm: guided_fn(a, w, v),
+                       args.student_steps)
+        runs[arm] = run
+        tps, compile_s = bench(run, student_vars,
+                               f"student {arm} T{args.student_steps}")
         arm_watchdog(600.0)
         try:
             end = np.asarray(run(student_vars, noise, 99)[-1])
@@ -251,7 +271,7 @@ def main():
     }
 
     # Per-w generalization for the best arm (w rides as a RETRACE here —
-    # the factories bind w at trace time; the sweep is small).
+    # guided_fn binds w at trace time; the sweep is small).
     if args.w_sweep:
         ws = [float(x) for x in args.w_sweep.split(",")]
         sweep = {}
@@ -266,18 +286,7 @@ def main():
                     make_eval_model_fn(teacher_model, teacher_vars), q_noise,
                     args.teacher_steps, dp_t["alphas"], seed=11,
                     guidance_scale=wv)[-1])
-                if best_name == "bf16":
-                    sfn = make_guided_eval_fn(model, student_vars, wv)
-                elif best_name == "int8":
-                    sfn = make_guided_eval_fn(model, student_vars, wv,
-                                              quant="int8")
-                elif best_name == "int8_static":
-                    sfn = make_guided_eval_fn(model, student_vars, wv,
-                                              quant="int8", act_scales=scales)
-                else:
-                    sfn = make_guided_eval_fn(
-                        model, student_vars, wv, quant="int8",
-                        act_scales=scales, quant_blocks=mixed_blocks)
+                sfn = guided_fn(best_name, wv, student_vars)
                 se = np.asarray(generate_trajectory_scan(
                     sfn, q_noise, args.student_steps, dp_s["alphas"],
                     seed=11)[-1])
@@ -311,18 +320,7 @@ def main():
                 args.teacher_steps, dp_t["alphas"], seed=21,
                 guidance_scale=w)[-1]
             best_name = best.replace("student_", "")
-            if best_name == "bf16":
-                sfn = make_guided_eval_fn(model, student_vars, w)
-            elif best_name == "int8":
-                sfn = make_guided_eval_fn(model, student_vars, w,
-                                          quant="int8")
-            elif best_name == "int8_static":
-                sfn = make_guided_eval_fn(model, student_vars, w,
-                                          quant="int8", act_scales=scales)
-            else:
-                sfn = make_guided_eval_fn(
-                    model, student_vars, w, quant="int8", act_scales=scales,
-                    quant_blocks=mixed_blocks)
+            sfn = guided_fn(best_name, w, student_vars)
             s_set = generate_trajectory_scan(
                 sfn, sn, args.student_steps, dp_s["alphas"], seed=22)[-1]
             inception = InceptionModel()

@@ -195,18 +195,27 @@ def main():
     scales = None
     if any(a.startswith("int8_static") for a in arms):
         # Calibration states: K points along a REAL chain (activations grow
-        # toward the noisy end), both CFG branches (mask 1 and 0), batch
-        # subset for speed.  Host numpy in/out; scales return as host floats.
+        # toward the noisy end) × the EXACT (cond, cond_mask) rows the
+        # compiled sampler feeds the model (sampling.CFG_COND_PAIRS: the
+        # uncond CFG branch is cond=0 at mask=1, NOT mask=0 — calibrating
+        # off-distribution pairs mis-sizes the static scales), batch subset
+        # for speed.  Host numpy in/out; scales return as host floats.
+        from distillation_trajectories_tpu.diffusion.sampling import (
+            CFG_COND_PAIRS,
+            NOCFG_COND_PAIRS,
+        )
+
+        pairs = CFG_COND_PAIRS if args.guidance > 1.0 else NOCFG_COND_PAIRS
         cb = min(32, args.batch)
         idxs = sorted({0, t_steps // 4, t_steps // 2, (3 * t_steps) // 4,
                        t_steps - 1})
         xs, ts, conds, masks = [], [], [], []
         for idx in idxs:
-            for m in (1.0, 0.0):
+            for c, m in np.unique(pairs, axis=0):
                 xs.append(f_chain[idx][:cb])
                 ts.append(np.full((cb,), float(t_steps - 1 - idx),
                                   np.float32))
-                conds.append(np.full((cb, 1), args.guidance, np.float32))
+                conds.append(np.full((cb, 1), c, np.float32))
                 masks.append(np.full((cb, 1), m, np.float32))
         t0 = time.perf_counter()
         scales = calibrate_activation_scales(
