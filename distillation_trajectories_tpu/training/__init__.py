@@ -3,6 +3,7 @@ from .state import (
     TrainState,
     create_train_state,
     make_optimizer,
+    make_state_init_fn,
     make_eval_model_fn,
     make_eval_fn_from_config,
     make_teacher_train_step,

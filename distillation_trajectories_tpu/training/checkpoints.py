@@ -162,6 +162,19 @@ class AsyncCheckpointWriter:
         self._futures.append(self._pool.submit(write))
         _raise_first(done)
 
+    def submit(self, fn, *args) -> None:
+        """Run an arbitrary host-side task (e.g. a sample-grid fetch+PNG
+        save) on the writer's pool with the same error contract as saves:
+        failures surface on the next save()/submit()/flush(), never
+        silently.  The caller must pass device arrays (not prefetched
+        numpy) so the fetch itself rides the background thread."""
+        done, pending = [], []
+        for f in self._futures:
+            (done if f.done() else pending).append(f)
+        self._futures = pending
+        self._futures.append(self._pool.submit(fn, *args))
+        _raise_first(done)
+
     def flush(self) -> None:
         """Wait for ALL pending saves to settle; raise the first failure
         only after every future has completed (an early raise would abandon

@@ -54,6 +54,38 @@ def make_optimizer(config) -> optax.GradientTransformation:
     return optax.adam(config.lr, b1=0.9, b2=0.999, eps=1e-8)
 
 
+def make_state_init_fn(
+    model,
+    config,
+    tx: optax.GradientTransformation,
+    use_ema: bool = False,
+    force_jit: Optional[bool] = None,
+):
+    """Build ``key -> TrainState`` as ONE graph: model init + optimizer init.
+
+    Eager construction pays one tunnel RTT per op on the axon backend —
+    model.init dispatches every initializer separately (hence
+    models.make_init_fn), but ``tx.init`` then dispatches ~2 zeros_like per
+    param leaf on top: measured ~6 s per student, 80.9 s of the r05 students
+    stage across 13 builds (SWEEP_r05.json phases.builds_s).  Fusing both
+    inits into one jitted graph makes a build one dispatch; like
+    make_init_fn it stays eager on CPU (no RTT to save; pytest would pay a
+    compile per architecture) unless ``force_jit`` overrides.
+
+    Exposed as a factory so sweeps can ``lower()`` one graph per distinct
+    architecture and compile them concurrently (utils/compile_pool.py).
+    """
+    from ..models import make_init_fn
+
+    init = make_init_fn(model, config, force_jit=False)
+
+    def _state(key):
+        return create_train_state(model, init(key), tx, use_ema=use_ema)
+
+    jit_it = (jax.default_backend() != "cpu") if force_jit is None else force_jit
+    return jax.jit(_state) if jit_it else _state
+
+
 def make_eval_model_fn(model, variables) -> Callable:
     """Eval-mode forward closure: (x, t, cond, cond_mask) -> ε̂."""
 

@@ -45,6 +45,7 @@ from .state import (
     make_distill_train_step,
     make_multi_distill_epoch_fn,
     make_optimizer,
+    make_state_init_fn,
     stack_train_states,
     unstack_train_state,
 )
@@ -74,7 +75,7 @@ def print_size_factor_info(size_factors: List[float]) -> None:
 
 
 def _build_student(teacher_model, teacher_variables, config, size_factor,
-                   seed, _shared=None, _init_fn=None):
+                   seed, _shared=None, _init_fn=None, _state_init_fn=None):
     """Everything distillation needs before the first batch: student model +
     init, train state (mesh-sharded when configured), and the jitted step.
 
@@ -93,6 +94,11 @@ def _build_student(teacher_model, teacher_variables, config, size_factor,
     one per distinct architecture) replaces the internal ``init_unet`` call
     so the sweep's init graphs compile concurrently instead of one ~15s
     serial compile per architecture (25% of the r04 students stage).
+
+    ``_state_init_fn`` (state.make_state_init_fn, supersedes ``_init_fn``)
+    goes further: model init AND optimizer init in one graph — the eager
+    ``tx.init`` was ~2 device zeros per param leaf × tunnel RTT, 80.9 s
+    across the r05 sweep's 13 builds (SWEEP_r05.json phases.builds_s).
     """
     key = jax.random.PRNGKey(seed + int(size_factor * 1000))
     key, init_key = jax.random.split(key)
@@ -102,14 +108,18 @@ def _build_student(teacher_model, teacher_variables, config, size_factor,
     student_model = (
         _shared["model"] if _shared else make_unet(config, size_factor=size_factor)
     )
+    tx = make_optimizer(config)
     with phase_timer("students/init_unet"):
-        if _init_fn is not None:
+        if _state_init_fn is not None:
+            state = _state_init_fn(init_key)
+            variables = {"params": state.params,
+                         "batch_stats": state.batch_stats}
+        elif _init_fn is not None:
             variables = _init_fn(init_key)
         else:
             variables = init_unet(student_model, config, init_key)
-
-    tx = make_optimizer(config)
-    state = create_train_state(student_model, variables, tx)
+    if _state_init_fn is None:
+        state = create_train_state(student_model, variables, tx)
 
     # Config.mesh_shape != (1,1): SPMD distillation — student state + teacher
     # params channel-TP over "model", batches over "data" (parallel/mesh.py).
@@ -320,20 +330,26 @@ def distill_diffusion_model(
                         opt_state=state.opt_state,
                     )
                 if epoch == config.epochs - 1 and config.num_samples_to_generate > 0:
-                    # End-of-training sample grid (train_students.py:190-210)
+                    # End-of-training sample grid (train_students.py:190-210).
+                    # Dispatch only; the host fetch (~tunnel RTT + transfer)
+                    # and PNG render ride the async writer's pool so the
+                    # next student's training overlaps them — grid_fn does
+                    # not donate its args, so the result buffer stays valid.
                     key, sample_key = jax.random.split(key)
                     with phase_timer("students/grid"):
-                        samples = np.asarray(built["grid_fn"](
+                        samples_dev = built["grid_fn"](
                             state.params, state.batch_stats, sample_key
-                        ))
-                    save_image_grid(
-                        samples,
-                        os.path.join(
-                            config.results_dir,
-                            f"student_samples_size_{size_factor}_epoch_{epoch + 1}.png",
-                        ),
-                        nrow=config.samples_grid_size,
-                        figsize=config.samples_figure_size,
+                        )
+                    grid_path = os.path.join(
+                        config.results_dir,
+                        f"student_samples_size_{size_factor}_epoch_{epoch + 1}.png",
+                    )
+                    writer.submit(
+                        save_image_grid,
+                        samples_dev,
+                        grid_path,
+                        config.samples_grid_size,
+                        config.samples_figure_size,
                     )
 
     finally:
@@ -420,20 +436,23 @@ def _distill_group_vmapped(
                     for j, sf in enumerate(sfs):
                         member = unstack_train_state(states, j)
                         _, sample_key = jax.random.split(keys[j])
+                        # Dispatch only; fetch + PNG render ride the async
+                        # writer (see the sequential lane above).
                         with phase_timer("students/grid"):
-                            samples = np.asarray(grid_fn(
+                            samples_dev = grid_fn(
                                 member.params, member.batch_stats,
                                 sample_key,
-                            ))
-                        save_image_grid(
-                            samples,
+                            )
+                        writer.submit(
+                            save_image_grid,
+                            samples_dev,
                             os.path.join(
                                 config.results_dir,
                                 f"student_samples_size_{sf}_"
                                 f"epoch_{epoch + 1}.png",
                             ),
-                            nrow=config.samples_grid_size,
-                            figsize=config.samples_figure_size,
+                            config.samples_grid_size,
+                            config.samples_figure_size,
                         )
     finally:
         cancel_watchdog()
@@ -562,14 +581,15 @@ def train_students(
             m = make_unet(config, size_factor=size_factor)
             arch_of[size_factor] = (tuple(m.dims), m.time_emb_dim)
 
-        # Concurrent INIT compiles (accelerator backends; CPU init is
-        # eager by design): one jitted init graph per distinct
-        # architecture, all compiling in the pool at once — the serial
-        # ~15s-per-arch init compiles were 25% of the r04 students stage.
+        # Concurrent STATE-INIT compiles (accelerator backends; CPU init is
+        # eager by design): one jitted ``key -> TrainState`` graph per
+        # distinct architecture (model init + optimizer init fused —
+        # state.make_state_init_fn), all compiling in the pool at once.
+        # The serial ~15s-per-arch init compiles were 25% of the r04
+        # students stage; the eager per-leaf tx.init dispatches were 80.9s
+        # of r05's builds phase.
         arch_init: Dict[tuple, object] = {}
         if jax.default_backend() != "cpu":
-            from ..models import make_init_fn
-
             with phase_timer("students/init_compile"):
                 key_aval = jax.ShapeDtypeStruct(
                     jnp.shape(jax.random.PRNGKey(0)),
@@ -579,16 +599,16 @@ def train_students(
                 for size_factor in size_factors:
                     arch = arch_of[size_factor]
                     if arch not in arch_init:
-                        fn = make_init_fn(
+                        fn = make_state_init_fn(
                             make_unet(config, size_factor=size_factor),
-                            config, force_jit=True,
+                            config, make_optimizer(config), force_jit=True,
                         )
                         arch_init[arch] = fn
                         init_producers.append(
                             lambda fn=fn: fn.lower(key_aval))
                 compile_concurrently(
                     init_producers,
-                    label=f"student inits x{len(init_producers)}",
+                    label=f"student state-inits x{len(init_producers)}",
                     per_item_budget=120.0,
                 )
 
@@ -599,7 +619,7 @@ def train_students(
                 prebuilt[size_factor] = _build_student(
                     teacher_model, teacher_variables, config, size_factor,
                     seed, _shared=arch_canonical.get(arch),
-                    _init_fn=arch_init.get(arch),
+                    _state_init_fn=arch_init.get(arch),
                 )
                 arch_canonical.setdefault(arch, prebuilt[size_factor])
         # Example avals must match execution exactly (shape, dtype, AND
@@ -734,6 +754,12 @@ def train_students(
                 # Train-step graphs compile in minutes (vs ~30s trajectory
                 # scans); budget the hang deadline accordingly.
                 per_item_budget=400.0,
+                # Device-bound training releases the GIL between dispatches,
+                # so later students' traces run while earlier ones train —
+                # the r05 stage paid 97.3s of up-front serial tracing here.
+                # On CPU training is host-bound; keep the trace synchronous
+                # (interleaving starves the 1-core host — compile_pool.py).
+                trace_in_background=(jax.default_backend() != "cpu"),
             )
 
     students: Dict[float, Tuple[object, dict]] = {}

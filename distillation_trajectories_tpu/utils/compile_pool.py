@@ -66,12 +66,24 @@ def cancel_watchdog() -> None:
 
 
 class AsyncCompilePool:
-    """Compile-AHEAD pool: trace everything up front (serial — interleaved
-    tracing starves on this 1-core host, see compile_concurrently), submit
-    every compile to a thread pool, and let the caller overlap its own work
-    (training, which mostly waits on device RPCs with the GIL released)
-    with the remaining server-side compiles, waiting per-key only when it
-    actually needs that executable.
+    """Compile-AHEAD pool: trace serially (interleaved tracing across
+    MULTIPLE threads starves on this 1-core host, see compile_concurrently),
+    submit every compile to a thread pool, and let the caller overlap its
+    own work (training, which mostly waits on device RPCs with the GIL
+    released) with the remaining server-side compiles, waiting per-key only
+    when it actually needs that executable.
+
+    ``trace_in_background`` moves the (still serial, single-thread) trace
+    loop off the caller's critical path: keys are traced in insertion
+    order, each key's compiles are submitted the moment its trace finishes,
+    and ``wait(key)`` blocks on trace+compile of that key only.  Training
+    student *i* is device-bound (GIL released between dispatches), so the
+    tracer gets the host to itself while the chip trains — the r05 students
+    stage spent 97.3 s tracing up front (SWEEP_r05.json
+    phases.compile_trace_s) that this mode hides behind the 383 s train
+    wall.  Tracing is host-side only (variables ride as avals, never
+    constants — see VariablesAsArgFn), so the tracer thread cannot hang on
+    a tunnel RPC; ``wait`` still deadlines its own blocking.
 
     ``producers`` maps key -> list of zero-arg callables returning a
     ``Lowered`` (or Lowered directly).  Duplicate list entries across keys
@@ -80,39 +92,69 @@ class AsyncCompilePool:
     """
 
     def __init__(self, producers, workers: int = None, label: str = "",
-                 verbose: bool = True, per_item_budget: float = 400.0):
+                 verbose: bool = True, per_item_budget: float = 400.0,
+                 trace_in_background: bool = False):
+        import threading
+
         if workers is None:
             workers = int(os.environ.get("DTT_COMPILE_WORKERS", "8") or 8)
         self._budget = per_item_budget
         self._label = label
         self._verbose = verbose
         self._t0 = time.perf_counter()
-        n = sum(len(v) for v in producers.values())
-        arm_watchdog(max(600.0, 60.0 + 30.0 * n))  # tracing only
-        try:
-            resolved = {
-                k: [item() if callable(item) else item for item in items]
-                for k, items in producers.items()
-            }
-        finally:
-            cancel_watchdog()
-        self._trace_s = time.perf_counter() - self._t0
         self._pool = concurrent.futures.ThreadPoolExecutor(
             max_workers=workers)
-        seen = {}
         self._futures = {}
-        for k, items in resolved.items():
-            futs = []
-            for lw in items:
-                if id(lw) not in seen:
-                    seen[id(lw)] = self._pool.submit(self._timed, lw)
-                futs.append(seen[id(lw)])
-            self._futures[k] = futs
-        self._n_unique = len(seen)
-        if verbose:
-            print(f"[compile-pool:async] {label or 'queued'}: "
-                  f"{self._n_unique} executables queued "
-                  f"(trace {self._trace_s:.1f}s)", flush=True)
+        self._ready = {k: threading.Event() for k in producers}
+        self._trace_error = None
+        self._trace_s = 0.0
+        self._n_unique = 0
+        self._tracer = None
+        if trace_in_background:
+            self._tracer = threading.Thread(
+                target=self._trace_all, args=(producers,),
+                name="compile-pool-tracer", daemon=True,
+            )
+            self._tracer.start()
+            if verbose:
+                n = sum(len(v) for v in producers.values())
+                print(f"[compile-pool:async] {label or 'queued'}: "
+                      f"{n} graphs tracing in background "
+                      "(compiles submit as each trace lands)", flush=True)
+        else:
+            n = sum(len(v) for v in producers.values())
+            arm_watchdog(max(600.0, 60.0 + 30.0 * n))  # tracing only
+            try:
+                self._trace_all(producers)
+            finally:
+                cancel_watchdog()
+            if self._trace_error is not None:
+                raise self._trace_error
+            if verbose:
+                print(f"[compile-pool:async] {label or 'queued'}: "
+                      f"{self._n_unique} executables queued "
+                      f"(trace {self._trace_s:.1f}s)", flush=True)
+
+    def _trace_all(self, producers):
+        t0 = time.perf_counter()
+        seen = {}
+        try:
+            for k, items in producers.items():
+                futs = []
+                for item in items:
+                    lw = item() if callable(item) else item
+                    if id(lw) not in seen:
+                        seen[id(lw)] = self._pool.submit(self._timed, lw)
+                    futs.append(seen[id(lw)])
+                self._futures[k] = futs
+                self._ready[k].set()
+        except BaseException as e:  # surfaced by wait()/close()
+            self._trace_error = e
+        finally:
+            self._trace_s = time.perf_counter() - t0
+            self._n_unique = len(seen)
+            for ev in self._ready.values():
+                ev.set()  # wake every waiter; error re-raised there
 
     @staticmethod
     def _timed(lw):
@@ -120,27 +162,47 @@ class AsyncCompilePool:
         lw.compile()
         return time.perf_counter() - c0
 
+    def _await_traced(self, key) -> None:
+        ev = self._ready.get(key)
+        if ev is not None and not ev.wait(
+                max(600.0, self._budget)):
+            raise TimeoutError(
+                f"compile pool: trace of {key!r} did not land within "
+                f"{max(600.0, self._budget):.0f}s")
+        if self._trace_error is not None:
+            raise self._trace_error
+
     def wait(self, key) -> float:
-        """Block until every executable the key needs is compiled; returns
-        the wall seconds spent actually waiting (0 when already done)."""
-        futs = self._futures.get(key, ())
-        if all(f.done() for f in futs):
-            for f in futs:
-                f.result()  # surface compile errors even when done
-            return 0.0
+        """Block until every executable the key needs is traced AND
+        compiled; returns the wall seconds spent actually waiting (0 when
+        already done)."""
+        ready = self._ready.get(key)
+        if (ready is None or ready.is_set()) and self._trace_error is None:
+            futs = self._futures.get(key, ())
+            if all(f.done() for f in futs):
+                for f in futs:
+                    f.result()  # surface compile errors even when done
+                return 0.0
         t0 = time.perf_counter()
-        arm_watchdog(max(600.0, self._budget * len(futs)))
+        arm_watchdog(max(600.0, self._budget * 4))
         try:
-            for f in futs:
+            self._await_traced(key)
+            for f in self._futures.get(key, ()):
                 f.result()
         finally:
             cancel_watchdog()
         return time.perf_counter() - t0
 
     def close(self):
-        """Drain remaining compiles (surfacing errors) and shut down."""
-        arm_watchdog(max(600.0, self._budget * self._n_unique))
+        """Drain remaining traces + compiles (surfacing errors), shut down."""
+        arm_watchdog(max(600.0, self._budget * max(1, self._n_unique)))
         try:
+            if self._tracer is not None:
+                self._tracer.join(timeout=max(600.0, self._budget))
+                if self._tracer.is_alive():
+                    raise TimeoutError("compile pool: tracer did not finish")
+            if self._trace_error is not None:
+                raise self._trace_error
             for futs in self._futures.values():
                 for f in futs:
                     f.result()

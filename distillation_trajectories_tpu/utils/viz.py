@@ -37,11 +37,13 @@ def save_image_grid(
     """Save a grid of NHWC images in [−1,1] (or [0,1]) to ``path``.
 
     Mirrors the sample-grid PNGs of reference train_teacher.py:100-108.
-    """
-    import matplotlib
 
-    matplotlib.use("Agg")
-    import matplotlib.pyplot as plt
+    Uses the object-oriented Agg API (Figure, not pyplot) so it is
+    thread-safe: the student sweep fetches+saves grids on the async
+    checkpoint writer's pool while the next student trains, and pyplot's
+    global figure registry is not safe across threads.
+    """
+    from matplotlib.figure import Figure
 
     images = np.asarray(images, dtype=np.float32)
     if denormalize:
@@ -50,8 +52,8 @@ def save_image_grid(
     grid = make_grid(images, nrow=nrow)
     if grid.shape[-1] == 1:
         grid = np.repeat(grid, 3, axis=-1)
-    plt.figure(figsize=figsize)
-    plt.imshow(grid)
-    plt.axis("off")
-    plt.savefig(path, bbox_inches="tight")
-    plt.close()
+    fig = Figure(figsize=figsize)
+    ax = fig.add_subplot(111)
+    ax.imshow(grid)
+    ax.axis("off")
+    fig.savefig(path, bbox_inches="tight")

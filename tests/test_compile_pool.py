@@ -90,3 +90,58 @@ def test_async_compile_pool_wait_and_close():
     assert pool._n_unique == 2
     pool.close()
     assert float(f(x)[0]) == 2.0 and float(g(x)[0]) == 2.0
+
+
+def test_async_compile_pool_background_trace():
+    """trace_in_background: the constructor returns before tracing; wait()
+    blocks until its key is traced AND compiled; trace errors surface on
+    wait/close; key order is preserved (insertion order traces first)."""
+    import threading
+    import time
+
+    from distillation_trajectories_tpu.utils.compile_pool import (
+        AsyncCompilePool,
+    )
+
+    @jax.jit
+    def f(x):
+        return x * 3.0
+
+    x = jnp.ones((4,))
+    gate = threading.Event()
+    order = []
+
+    def slow_producer():
+        gate.wait(10.0)
+        order.append("a")
+        return f.lower(x)
+
+    pool = AsyncCompilePool(
+        {"a": [slow_producer]}, verbose=False, trace_in_background=True,
+    )
+    # Constructor must not have run the producer (it is gated).
+    assert order == []
+    gate.set()
+    assert pool.wait("a") >= 0.0
+    assert order == ["a"]
+    pool.close()
+    assert float(f(x)[0]) == 3.0
+
+    # A producer that raises: the error lands on wait() of that key and
+    # again on close().
+    def boom():
+        raise RuntimeError("trace failed")
+
+    pool = AsyncCompilePool(
+        {"bad": [boom]}, verbose=False, trace_in_background=True,
+    )
+    try:
+        pool.wait("bad")
+        raise AssertionError("wait() should re-raise the trace error")
+    except RuntimeError as e:
+        assert "trace failed" in str(e)
+    try:
+        pool.close()
+        raise AssertionError("close() should re-raise the trace error")
+    except RuntimeError as e:
+        assert "trace failed" in str(e)

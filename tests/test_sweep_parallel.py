@@ -318,7 +318,7 @@ def test_train_students_accel_init_pool_branch(tmp_path, capsys, monkeypatch):
     monkeypatch.setattr(st.jax, "default_backend", lambda: "fake-accel")
     students = train_students(cfg, custom_size_factors=[0.25, 0.1], seed=0)
     out = capsys.readouterr().out
-    assert "student inits x2" in out, out[-800:]
+    assert "student state-inits x2" in out, out[-800:]
     assert set(students) == {0.25, 0.1}
     for sf in (0.25, 0.1):
         leaves = jax.tree_util.tree_leaves(students[sf][1]["params"])

@@ -123,6 +123,31 @@ def test_shared_arch_build_dedup(test_config):
     assert np.isfinite(float(loss))
 
 
+def test_state_init_fn_matches_eager(test_config):
+    """make_state_init_fn's ONE-graph init (model init + tx.init fused,
+    force_jit=True — the accelerator sweep path) must produce the same
+    TrainState as the eager init_unet + create_train_state sequence the
+    CPU path uses: same pytree structure (stack_train_states and the
+    AOT-lowered epoch graphs key on it) and identical leaf values."""
+    from distillation_trajectories_tpu.training import make_state_init_fn
+
+    model = make_unet(test_config, size_factor=0.1)
+    tx = make_optimizer(test_config)
+    key = jax.random.PRNGKey(42)
+
+    eager = create_train_state(
+        model, init_unet(model, test_config, key), tx)
+    jitted = make_state_init_fn(model, test_config, tx, force_jit=True)(key)
+
+    t_e = jax.tree_util.tree_structure(eager)
+    t_j = jax.tree_util.tree_structure(jitted)
+    assert t_e == t_j
+    for le, lj in zip(jax.tree_util.tree_leaves(eager),
+                      jax.tree_util.tree_leaves(jitted)):
+        np.testing.assert_allclose(np.asarray(le), np.asarray(lj),
+                                   rtol=0, atol=0)
+
+
 def test_checkpoint_roundtrip_and_latest(test_config, tmp_path):
     model, variables, tx, state = _setup(test_config)
     d = str(tmp_path / "ckpts")
