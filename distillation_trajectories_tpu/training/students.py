@@ -24,6 +24,7 @@ from ..parallel import mesh_from_config, shard_params, shard_train_state
 from ..parallel.mesh import replicated
 from ..utils.profiling import (
     MetricsLogger,
+    add_phase_time,
     dump_phase_times,
     phase_timer,
     phase_times,
@@ -811,6 +812,12 @@ def train_students(
         finally:
             with phase_timer("students/ckpt_flush"):
                 writer.close()
+    if compile_pool is not None and compile_pool.traced_in_background:
+        # The trace wall no longer sits on the critical path (it overlaps
+        # training on a daemon thread) — record it separately so the SWEEP
+        # phase attribution still accounts for the host work.
+        add_phase_time("students/trace_overlapped",
+                       compile_pool.trace_seconds)
     # Wall-clock attribution for the sweep (init/build/grid/flush phases are
     # the "unaccounted" gap between epoch time and stage wall — see
     # PERFORMANCE.md's students-stage breakdown).

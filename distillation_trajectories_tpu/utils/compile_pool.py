@@ -156,6 +156,17 @@ class AsyncCompilePool:
             for ev in self._ready.values():
                 ev.set()  # wake every waiter; error re-raised there
 
+    @property
+    def trace_seconds(self) -> float:
+        """Wall seconds the trace loop took (meaningful after close() when
+        tracing ran in the background — it is OVERLAPPED time there, not
+        critical-path time)."""
+        return self._trace_s
+
+    @property
+    def traced_in_background(self) -> bool:
+        return self._tracer is not None
+
     @staticmethod
     def _timed(lw):
         c0 = time.perf_counter()

@@ -50,6 +50,12 @@ def phase_times() -> Dict[str, Dict[str, float]]:
     }
 
 
+def add_phase_time(name: str, seconds: float) -> None:
+    """Record an externally measured duration (e.g. a background thread's
+    wall — phase_timer can only time the calling thread's critical path)."""
+    _PHASE_TIMES[name].append(seconds)
+
+
 def dump_phase_times(path: str) -> None:
     with open(path, "w") as f:
         json.dump(phase_times(), f, indent=2)

@@ -126,6 +126,10 @@ def test_async_compile_pool_background_trace():
     assert order == ["a"]
     pool.close()
     assert float(f(x)[0]) == 3.0
+    # Attribution accessors: the overlapped trace wall is measured and
+    # flagged as background (students.py records it as a separate phase).
+    assert pool.traced_in_background
+    assert pool.trace_seconds > 0.0
 
     # A producer that raises: the error lands on wait() of that key and
     # again on close().
