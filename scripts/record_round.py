@@ -265,6 +265,16 @@ def main():
             "fast",
             [py, "-u", "scripts/bench_fast.py", "--record_tag", args.tag],
             args.tag, timeout=7200)
+    if not args.skip_bench and not results.get("bench", True):
+        # A bench attempt that landed inside a flapping recovery window
+        # burns all its internal retries on dead probes (observed r05i:
+        # one ok probe, then down again mid-compile).  The later stages'
+        # _wait_healthy calls mean hours may have passed — one retry at
+        # the end of the pipeline costs ~7 min on a genuinely healthy
+        # tunnel and rescues the round's bench record.
+        _wait_healthy()
+        results["bench_retry"] = _stage(
+            "bench_retry", [py, "-u", "bench.py"], args.tag, timeout=3300)
     if not args.no_git_commit:
         _commit_artifacts(args.tag, results)
     print(f"[record] DONE {json.dumps(results)}", flush=True)

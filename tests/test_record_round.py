@@ -213,3 +213,36 @@ def test_gate_green_proceeds_to_stages(rr, monkeypatch):
     assert e.value.code == 0
     assert ran == ["bench", "sweep", "progressive", "quant", "fast"]
     assert committed
+
+
+def test_bench_retry_after_flapping_window(rr, monkeypatch):
+    """A failed bench stage (its internal retries burned inside a flapping
+    recovery window) gets ONE retry at the end of the pipeline — hours of
+    _wait_healthy later — and the retry's success flips the exit code."""
+    monkeypatch.setattr(rr, "_gate", lambda tag: {"pytest": True,
+                                                  "driver_contract": True})
+    monkeypatch.setattr(rr, "_wait_healthy", lambda *a, **k: None)
+    ran = []
+
+    def fake_stage(name, *a, **k):
+        ran.append(name)
+        return name != "bench"  # bench fails; everything else (incl. retry) ok
+
+    monkeypatch.setattr(rr, "_stage", fake_stage)
+    monkeypatch.setattr(rr, "_commit_artifacts", lambda *a, **k: None)
+    monkeypatch.setattr(sys, "argv", ["record_round.py", "--tag", "tZ"])
+    with pytest.raises(SystemExit) as e:
+        rr.main()
+    assert ran == ["bench", "sweep", "progressive", "bench_retry"]
+    # bench stays recorded as failed; the retry is its own entry, so the
+    # exit code is 1 only when BOTH failed.
+    assert e.value.code == 1
+
+    # No retry when bench succeeded.
+    ran.clear()
+    monkeypatch.setattr(rr, "_stage",
+                        lambda name, *a, **k: ran.append(name) or True)
+    with pytest.raises(SystemExit) as e:
+        rr.main()
+    assert ran == ["bench", "sweep", "progressive"]
+    assert e.value.code == 0
