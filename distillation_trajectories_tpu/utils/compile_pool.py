@@ -99,6 +99,11 @@ class AsyncCompilePool:
         if workers is None:
             workers = int(os.environ.get("DTT_COMPILE_WORKERS", "8") or 8)
         self._budget = per_item_budget
+        # Keys trace serially in insertion order, so the LAST key's trace
+        # deadline must cover every earlier key's tracing too — same
+        # graph-count scaling as the sync path's watchdog.
+        n_graphs = sum(len(v) for v in producers.values())
+        self._trace_deadline = max(600.0, 60.0 + 30.0 * n_graphs)
         self._label = label
         self._verbose = verbose
         self._t0 = time.perf_counter()
@@ -175,11 +180,10 @@ class AsyncCompilePool:
 
     def _await_traced(self, key) -> None:
         ev = self._ready.get(key)
-        if ev is not None and not ev.wait(
-                max(600.0, self._budget)):
+        if ev is not None and not ev.wait(self._trace_deadline):
             raise TimeoutError(
                 f"compile pool: trace of {key!r} did not land within "
-                f"{max(600.0, self._budget):.0f}s")
+                f"{self._trace_deadline:.0f}s")
         if self._trace_error is not None:
             raise self._trace_error
 
@@ -195,7 +199,10 @@ class AsyncCompilePool:
                     f.result()  # surface compile errors even when done
                 return 0.0
         t0 = time.perf_counter()
-        arm_watchdog(max(600.0, self._budget * 4))
+        # A legitimate wait may cover the whole serial trace queue (keys
+        # trace in insertion order) plus this key's compiles — the hang
+        # watchdog must not fire inside that envelope.
+        arm_watchdog(self._trace_deadline + max(600.0, self._budget * 4))
         try:
             self._await_traced(key)
             for f in self._futures.get(key, ()):
@@ -206,10 +213,13 @@ class AsyncCompilePool:
 
     def close(self):
         """Drain remaining traces + compiles (surfacing errors), shut down."""
-        arm_watchdog(max(600.0, self._budget * max(1, self._n_unique)))
+        # _n_unique is 0 until the tracer's finally runs — size the drain
+        # budget off the key count when the trace is still in flight.
+        n_drain = max(1, self._n_unique or len(self._ready))
+        arm_watchdog(self._trace_deadline + max(600.0, self._budget * n_drain))
         try:
             if self._tracer is not None:
-                self._tracer.join(timeout=max(600.0, self._budget))
+                self._tracer.join(timeout=self._trace_deadline)
                 if self._tracer.is_alive():
                     raise TimeoutError("compile pool: tracer did not finish")
             if self._trace_error is not None:
