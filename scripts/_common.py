@@ -81,6 +81,19 @@ def preflight_probe(max_wait=900.0, interval=60.0):
     def _primary(platforms):
         return str(platforms or "").split(",")[0].strip()
 
+    # Chained-stage skip: when the workload runner launches this CLI right
+    # after a stage that just SUCCEEDED on the chip (run_full_sweep.py sets
+    # DTT_SKIP_PREFLIGHT=1), that success is fresher health evidence than a
+    # probe — and each probe costs a full subprocess jax+tunnel init
+    # (~50-90 s, measured r05i: the cfg stage's 80.7 s "imports" phase was
+    # mostly the serial probe).  Retries are still covered: the runner
+    # re-probes before every retry attempt.
+    if os.environ.get("DTT_SKIP_PREFLIGHT", "") == "1":
+        return {
+            "status": "skipped",
+            "detail": "chained after a healthy on-chip stage "
+                      "(DTT_SKIP_PREFLIGHT=1)",
+        }
     # Only the PRIMARY platform decides: the default here is 'axon,cpu'
     # (TPU plugin with cpu fallback), which must still probe.
     if _primary(os.environ.get("JAX_PLATFORMS", "")) == "cpu":

@@ -45,7 +45,7 @@ SIZE_FACTORS = "0.01,0.05,0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.75,0.8,0.9,1.0"
 
 
 def run_stage(name, cmd, log_dir, timeout=None, retries=1,
-              retry_extra_args=None):
+              retry_extra_args=None, env_extra=None):
     """Run one stage as a subprocess with a hang timeout and retry.
 
     The tunneled TPU backend occasionally drops an RPC mid-compile and the
@@ -83,6 +83,7 @@ def run_stage(name, cmd, log_dir, timeout=None, retries=1,
                 proc = subprocess.run(
                     attempt_cmd, stdout=log, stderr=subprocess.STDOUT,
                     cwd=project_root, timeout=timeout,
+                    env={**os.environ, **env_extra} if env_extra else None,
                 )
                 ok = proc.returncode == 0
             except subprocess.TimeoutExpired:
@@ -255,6 +256,10 @@ def main():
         log_dir,
         timeout=2400,
         retries=2,
+        # The runner's own preflight (or the previous stage's on-chip
+        # success / the pre-retry probe) already vouches for the tunnel;
+        # the in-CLI probe would re-pay a full subprocess jax init.
+        env_extra={"DTT_SKIP_PREFLIGHT": "1"},
     )
     trio_marginal = _job_marginal(
         os.path.join(log_dir, "sweep_cfg_trio.log"), label="trio")
@@ -280,6 +285,7 @@ def main():
         log_dir,
         timeout=1800,
         retries=2,
+        env_extra={"DTT_SKIP_PREFLIGHT": "1"},
     )
     ok = all(stages[k]["ok"] for k in ("cfg_sweep", "trio", "fid"))
     _write(args.tag, stages, t_start, ok=ok, probe=probe,

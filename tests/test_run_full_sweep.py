@@ -179,3 +179,49 @@ def test_embed_students_phases(tmp_path):
     rec2 = {"ok": True, "seconds": 100.0}
     mod._embed_students_phases(str(tmp_path), rec2)
     assert "phases" not in rec2
+
+
+def test_run_stage_passes_env_extra(tmp_path, monkeypatch):
+    """Chained stages run with DTT_SKIP_PREFLIGHT=1 (the runner's probe /
+    the previous stage's on-chip success vouches for the tunnel) without
+    polluting the runner's own environment."""
+    rfs = importlib.import_module("run_full_sweep")
+    monkeypatch.setattr(rfs, "project_root", str(tmp_path))
+    seen = {}
+
+    class _Proc:
+        returncode = 0
+
+    def fake_run(cmd, **kw):
+        seen["env"] = kw.get("env")
+        return _Proc()
+
+    monkeypatch.setattr(rfs.subprocess, "run", fake_run)
+    out = rfs.run_stage(
+        "fid", ["python", "x.py"], str(tmp_path),
+        env_extra={"DTT_SKIP_PREFLIGHT": "1"},
+    )
+    assert out["ok"] is True
+    assert seen["env"]["DTT_SKIP_PREFLIGHT"] == "1"
+    # The parent process env is inherited alongside the extra var...
+    assert "PATH" in seen["env"]
+    # ...and stages without env_extra run with the plain inherited env.
+    rfs.run_stage("teacher", ["python", "x.py"], str(tmp_path))
+    assert seen["env"] is None
+    assert os.environ.get("DTT_SKIP_PREFLIGHT") != "1"
+
+
+def test_preflight_probe_chained_skip(monkeypatch):
+    """scripts/_common.preflight_probe honors DTT_SKIP_PREFLIGHT=1 without
+    spawning a probe subprocess (each probe pays a full jax+tunnel init)."""
+    _common = importlib.import_module("_common")
+
+    def boom(*a, **kw):
+        raise AssertionError("probe subprocess launched despite skip")
+
+    monkeypatch.setattr(
+        "distillation_trajectories_tpu.utils.tunnel.wait_for_device", boom)
+    monkeypatch.setenv("DTT_SKIP_PREFLIGHT", "1")
+    out = _common.preflight_probe()
+    assert out["status"] == "skipped"
+    assert "chained" in out["detail"]
