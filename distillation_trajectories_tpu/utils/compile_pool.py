@@ -48,6 +48,37 @@ class VariablesAsArgFn:
         return self._jitted.lower(self._variables, *args)
 
 
+class CompiledWithFallback:
+    """Prefer an AOT ``Compiled`` executable; fall back to the jitted fn if
+    the executable rejects the live args.
+
+    The rejection path exists for aval/sharding drift between the pool's
+    example args and the runtime call (e.g. a dataset tail batch of a
+    different size).  Only pre-execution argument errors (TypeError /
+    ValueError) trigger the fallback — they are raised before any donated
+    input buffer is consumed, so re-calling the jitted fn with the same
+    args is safe.  Runtime errors propagate unchanged.
+    """
+
+    def __init__(self, compiled, jitted, label: str = ""):
+        self._compiled = compiled
+        self._jitted = jitted
+        self._label = label
+
+    def __call__(self, *args):
+        if self._compiled is not None:
+            try:
+                return self._compiled(*args)
+            except (TypeError, ValueError) as e:
+                print(
+                    f"[compile-pool] {self._label or 'aot'}: executable "
+                    f"rejected args ({type(e).__name__}: {e}); falling back "
+                    "to jit dispatch", flush=True,
+                )
+                self._compiled = None
+        return self._jitted(*args)
+
+
 def arm_watchdog(seconds: float) -> None:
     """Arm (or re-arm) the hang watchdog for the current phase.
 
@@ -246,9 +277,21 @@ def compile_concurrently(
     label: str = "",
     verbose: bool = True,
     per_item_budget: float = 45.0,
-) -> List[float]:
+    keep: bool = False,
+) -> List:
     """Compile a batch of computations in a thread pool; returns per-item
-    seconds.
+    seconds, or the ``Compiled`` executables (input order) with ``keep``.
+
+    ``keep=True`` exists because ``Lowered.compile()`` does NOT populate the
+    jitted function's dispatch cache (verified: ``f._cache_size()`` stays 0
+    after an AOT compile) — a later ``f(args)`` call re-traces AND
+    re-compiles, leaning on the axon server-side HLO cache to make the
+    recompile cheap.  Callers that hold the Compiled object and call it
+    directly skip both the re-trace (host-side, seconds on this 1-core
+    host for epoch-scan graphs) and the cache dependence (a server
+    eviction between pool and dispatch costs a full from-scratch compile).
+    Compiled executables accept host numpy args (placed automatically) and
+    honor the original ``donate_argnums``.
 
     Items may be ``Lowered`` objects or zero-arg callables producing one.
     All callables are resolved (traced) BEFORE the pool starts: interleaving
@@ -269,15 +312,16 @@ def compile_concurrently(
 
     def timed_compile(lw):
         c0 = time.perf_counter()
-        lw.compile()
-        return time.perf_counter() - c0
+        compiled = lw.compile()
+        return time.perf_counter() - c0, compiled
 
     arm_watchdog(max(600.0, per_item_budget * len(lowered)))
     try:
         resolved = [item() if callable(item) else item for item in lowered]
         trace_s = time.perf_counter() - t0
         with concurrent.futures.ThreadPoolExecutor(max_workers=workers) as pool:
-            per = list(pool.map(timed_compile, resolved))
+            timed = list(pool.map(timed_compile, resolved))
+        per = [t for t, _ in timed]
     finally:
         cancel_watchdog()
     if verbose:
@@ -291,4 +335,6 @@ def compile_concurrently(
             f"{wall - trace_s:.1f}s, compile sum {sum(per):.1f}s, "
             f"max {max(per):.1f}s, {workers} workers)"
         )
+    if keep:
+        return [c for _, c in timed]
     return per

@@ -13,8 +13,10 @@ from distillation_trajectories_tpu.utils.compile_pool import (
 
 
 def test_compile_concurrently_mixed_items():
-    """Accepts Lowered objects and zero-arg producers; executables land in
-    the jit dispatch cache (subsequent call returns without recompiling)."""
+    """Accepts Lowered objects and zero-arg producers; the jitted fns stay
+    callable afterwards (note: AOT compiles do NOT land in the jit dispatch
+    cache — consumers that must avoid the re-trace/re-compile keep the
+    executables via keep=True and call them directly)."""
     f = jax.jit(lambda x: jnp.sin(x) * 2)
     g = jax.jit(lambda x: jnp.cos(x) + 1)
     x = jnp.ones((8, 8))
@@ -149,3 +151,47 @@ def test_async_compile_pool_background_trace():
         raise AssertionError("close() should re-raise the trace error")
     except RuntimeError as e:
         assert "trace failed" in str(e)
+
+
+def test_compile_concurrently_keep_returns_executables():
+    """keep=True returns the Compiled executables in input order; calling
+    one directly bypasses the jit dispatch cache entirely (Lowered.compile
+    does NOT populate it — f._cache_size() stays 0) and accepts host numpy
+    args."""
+    import numpy as np
+
+    f = jax.jit(lambda x: jnp.sin(x) * 2)
+    g = jax.jit(lambda x: jnp.cos(x) + 1)
+    x = jnp.ones((4, 4))
+    compiled = compile_concurrently(
+        [f.lower(x), lambda: g.lower(x)], label="keep", verbose=False,
+        keep=True,
+    )
+    assert len(compiled) == 2
+    assert f._cache_size() == 0  # the premise keep=True exists for
+    out_f = compiled[0](np.ones((4, 4), np.float32))
+    out_g = compiled[1](np.ones((4, 4), np.float32))
+    assert jnp.allclose(out_f, jnp.sin(jnp.ones((4, 4))) * 2)
+    assert jnp.allclose(out_g, jnp.cos(jnp.ones((4, 4))) + 1)
+
+
+def test_compiled_with_fallback():
+    """CompiledWithFallback prefers the AOT executable, falls back to the
+    jitted fn exactly once on an argument-shape rejection, and never uses
+    the dead executable again."""
+    from distillation_trajectories_tpu.utils.compile_pool import (
+        CompiledWithFallback,
+    )
+
+    f = jax.jit(lambda x: x * 2)
+    x = jnp.ones((4,))
+    compiled = compile_concurrently(
+        [f.lower(x)], verbose=False, keep=True)[0]
+    fn = CompiledWithFallback(compiled, f, label="test")
+    assert jnp.allclose(fn(x), x * 2)
+    # Aval mismatch: the executable rejects pre-execution; the wrapper
+    # falls back to jit dispatch and keeps working for both shapes.
+    y = jnp.ones((8,))
+    assert jnp.allclose(fn(y), y * 2)
+    assert fn._compiled is None
+    assert jnp.allclose(fn(x), x * 2)
