@@ -314,6 +314,12 @@ def make_distill_train_step(
         def lower(self, state, images, key):
             return _train_step.lower(teacher_variables, state, images, key)
 
+        @property
+        def aot_prefix(self):
+            # Re-prepended when an AOT Compiled built from lower() is
+            # called directly (compile_pool.CompiledWithFallback).
+            return (teacher_variables,)
+
     return _DistillStep()
 
 
@@ -407,6 +413,10 @@ def make_distill_epoch_fn(
         def lower(self, state, dataset, idx, key):
             return _epoch.lower(teacher_variables, state, dataset, idx, key)
 
+        @property
+        def aot_prefix(self):
+            return (teacher_variables,)
+
     return _DistillEpoch()
 
 
@@ -477,5 +487,9 @@ def make_multi_distill_epoch_fn(
 
         def lower(self, states, dataset, idx, keys):
             return _epoch.lower(teacher_variables, states, dataset, idx, keys)
+
+        @property
+        def aot_prefix(self):
+            return (teacher_variables,)
 
     return _MultiDistillEpoch()

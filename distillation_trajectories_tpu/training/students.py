@@ -468,6 +468,49 @@ def _distill_group_vmapped(
     return out
 
 
+def _adopt_pool_executables(pool, size_factor, prebuilt, use_scan,
+                            vmap_group_of, group_info) -> None:
+    """Replace a student's jitted fns with the pool's AOT executables.
+
+    ``Lowered.compile()`` never lands in the jit dispatch cache, so
+    dispatching the jitted fn after the pool re-traces the graph (seconds
+    per epoch-scan graph on this 1-core host — the r05i students stage's
+    124.8 s train wall was mostly these re-traces) and re-compiles against
+    the backend cache.  Producer order (train_students): the
+    step/epoch/group fn is items[0]; the grid fn, when present, is last.
+    Idempotent — shared-arch builds and vmap-group members may be adopted
+    more than once.  Every swap keeps the jitted fn as a fallback for aval
+    drift (CompiledWithFallback).
+    """
+    from ..utils.compile_pool import CompiledWithFallback
+
+    execs = pool.executables(size_factor)
+    if not execs:
+        return
+    b = prebuilt[size_factor]
+    if size_factor in vmap_group_of:
+        arch = vmap_group_of[size_factor]
+        multi_fn, sfs = group_info[arch]
+        if not isinstance(multi_fn, CompiledWithFallback):
+            group_info[arch] = (
+                CompiledWithFallback(
+                    execs[0], multi_fn, label=f"multi-distill {sfs}"),
+                sfs,
+            )
+    elif use_scan:
+        if not isinstance(b["epoch_fn"], CompiledWithFallback):
+            b["epoch_fn"] = CompiledWithFallback(
+                execs[0], b["epoch_fn"], label=f"distill epoch sf={size_factor}")
+    else:
+        if not isinstance(b["train_step"], CompiledWithFallback):
+            b["train_step"] = CompiledWithFallback(
+                execs[0], b["train_step"], label=f"distill step sf={size_factor}")
+    if b["grid_fn"] is not None and not isinstance(
+            b["grid_fn"], CompiledWithFallback):
+        b["grid_fn"] = CompiledWithFallback(
+            execs[-1], b["grid_fn"], label=f"student grid sf={size_factor}")
+
+
 def load_teacher(config, epoch: Optional[int] = None):
     """Load the teacher model + variables from its checkpoint directory.
 
@@ -597,6 +640,7 @@ def train_students(
                     jax.random.PRNGKey(0).dtype,
                 )
                 init_producers = []
+                init_archs = []
                 for size_factor in size_factors:
                     arch = arch_of[size_factor]
                     if arch not in arch_init:
@@ -605,13 +649,24 @@ def train_students(
                             config, make_optimizer(config), force_jit=True,
                         )
                         arch_init[arch] = fn
+                        init_archs.append(arch)
                         init_producers.append(
                             lambda fn=fn: fn.lower(key_aval))
-                compile_concurrently(
+                init_compiled = compile_concurrently(
                     init_producers,
                     label=f"student state-inits x{len(init_producers)}",
                     per_item_budget=120.0,
+                    keep=True,
                 )
+                # Call the AOT executables directly — the jitted init would
+                # re-trace + re-compile at dispatch (the pool never fills
+                # the jit dispatch cache; see CompiledWithFallback).
+                from ..utils.compile_pool import CompiledWithFallback
+
+                for arch, compiled in zip(init_archs, init_compiled):
+                    arch_init[arch] = CompiledWithFallback(
+                        compiled, arch_init[arch],
+                        label=f"state init dims={arch[0]}")
 
         with phase_timer("students/builds"):
             arch_canonical: Dict[tuple, dict] = {}
@@ -780,8 +835,26 @@ def train_students(
                 if waited > 0.5:
                     print(f"[students] sf={size_factor}: waited "
                           f"{waited:.1f}s for its executables")
+                # Swap the jitted fns for their AOT executables (producer
+                # order: step/epoch/group fn first, grid last).  Dispatching
+                # the jitted fn would re-trace each graph on this 1-core
+                # host and re-compile against the backend cache — the pool's
+                # compiles never land in the jit dispatch cache.
+                _adopt_pool_executables(
+                    compile_pool, size_factor, prebuilt, use_scan,
+                    vmap_group_of, group_info,
+                )
             if size_factor in vmap_group_of:
                 multi_fn, sfs = group_info[vmap_group_of[size_factor]]
+                if compile_pool is not None:
+                    # Later group members' grids render right after the
+                    # shared vmapped training — adopt their executables too.
+                    for s in sfs:
+                        _adopt_pool_executables(
+                            compile_pool, s, prebuilt, use_scan,
+                            vmap_group_of, group_info,
+                        )
+                    multi_fn, sfs = group_info[vmap_group_of[size_factor]]
                 students.update(_distill_group_vmapped(
                     teacher_model,
                     teacher_variables,

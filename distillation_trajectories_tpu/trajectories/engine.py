@@ -28,6 +28,7 @@ from ..metrics.trajectory_metrics import _metrics_core, compute_trajectory_metri
 from ..parallel import mesh_from_config
 from ..parallel.mesh import DATA_AXIS, batch_sharding
 from ..training.state import make_eval_model_fn
+from ..utils.compile_pool import CompiledWithFallback as _CompiledWithFallback
 from ..utils.compile_pool import VariablesAsArgFn as _VariablesAsArgFn
 
 
@@ -409,6 +410,7 @@ def _sweep_compare_multi_impl(
     # happens via .lower() in the calling thread; the expensive XLA compile
     # happens inside the pool.
     producers = []
+    producer_keys = []
     seen_fn_inputs = set()
     seen_metric_shapes = set()
     n_graphs = 0
@@ -425,6 +427,7 @@ def _sweep_compare_multi_impl(
                 continue
             seen_fn_inputs.add(k)
             n_graphs += 1
+            producer_keys.append(("fn",) + k)
             producers.append(
                 lambda f=f, n=noises, s=seeds: f.lower(
                     n, s, cfg_pairs, gs_example
@@ -439,6 +442,7 @@ def _sweep_compare_multi_impl(
             mk = (job["num_samples"], job["timesteps"])
             if mk not in seen_metric_shapes:
                 seen_metric_shapes.add(mk)
+                producer_keys.append(("metric",) + mk)
                 traj_aval = jax.ShapeDtypeStruct(
                     (
                         job["num_samples"], job["timesteps"] + 1,
@@ -452,7 +456,7 @@ def _sweep_compare_multi_impl(
                     lambda a=traj_aval, k=keys: _batch_metrics.lower(a, a, k)
                 )
     n_sizes = sum(len(job["students"]) for job in jobs)
-    compile_concurrently(
+    compiled_by_key = dict(zip(producer_keys, compile_concurrently(
         producers,
         workers=compile_workers,
         label=(
@@ -461,7 +465,35 @@ def _sweep_compare_multi_impl(
             "graphs)"
         ),
         verbose=verbose,
-    )
+        keep=True,
+    )))
+
+    # Swap each job's fns for their AOT executables (dispatching the jitted
+    # fn would re-trace every graph on this 1-core host and re-compile
+    # against the backend cache — the pool never fills the jit dispatch
+    # cache).  The same fn object serves several jobs through fn_cache, so
+    # wrap per job; a key absent from the pool (e.g. mesh jobs skip the
+    # metric AOT) keeps the jitted fn.
+    job_batch_metrics = []
+    for ji, (job, teacher_fn, student_fns) in enumerate(zip(
+        jobs, job_teacher_fns, job_student_fns
+    )):
+        n = job["num_samples"]
+        c = compiled_by_key.get(("fn", id(teacher_fn), n))
+        if c is not None:
+            job_teacher_fns[ji] = _CompiledWithFallback(
+                c, teacher_fn, label="sweep teacher graph")
+        job_student_fns[ji] = {
+            sf: (_CompiledWithFallback(
+                    compiled_by_key[("fn", id(f), n)], f,
+                    label=f"sweep student sf={sf}")
+                 if ("fn", id(f), n) in compiled_by_key else f)
+            for sf, f in student_fns.items()
+        }
+        mc = compiled_by_key.get(("metric", n, job["timesteps"]))
+        job_batch_metrics.append(
+            _batch_metrics if mc is None else _CompiledWithFallback(
+                mc, _batch_metrics, label="sweep metric graph"))
 
     # Dispatch every job's sweep asynchronously (JAX queues executions) and
     # fetch every metric scalar in ONE device_get at the end: per-scalar
@@ -477,8 +509,8 @@ def _sweep_compare_multi_impl(
     # per-(sf, gs) chain would pin ~1 GB of HBM for the default workload.
     teacher_chain_cache: Dict[tuple, jax.Array] = {}
     pendings = []
-    for job, teacher_fn, student_fns in zip(
-        jobs, job_teacher_fns, job_student_fns
+    for job, teacher_fn, student_fns, batch_metrics_fn in zip(
+        jobs, job_teacher_fns, job_student_fns, job_batch_metrics
     ):
         noises, seeds, mesh = job_inputs(job)
         keys = job_keys(job, mesh)
@@ -500,7 +532,7 @@ def _sweep_compare_multi_impl(
                 teacher_chain_cache[ck] = t_trajs
             for sf, fn in student_fns.items():
                 s_trajs = fn(noises, seeds, pairs, gs_arr)
-                pending[sf][gs] = _batch_metrics(t_trajs, s_trajs, keys)
+                pending[sf][gs] = batch_metrics_fn(t_trajs, s_trajs, keys)
         pendings.append(pending)
     host_metrics_all = jax.device_get(pendings)
     outputs = []

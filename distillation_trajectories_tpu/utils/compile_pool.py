@@ -47,6 +47,13 @@ class VariablesAsArgFn:
     def lower(self, *args):
         return self._jitted.lower(self._variables, *args)
 
+    @property
+    def aot_prefix(self):
+        """Args ``lower()`` prepends — an AOT ``Compiled`` built from that
+        lowering needs them re-prepended at call time
+        (:class:`CompiledWithFallback`)."""
+        return (self._variables,)
+
 
 class CompiledWithFallback:
     """Prefer an AOT ``Compiled`` executable; fall back to the jitted fn if
@@ -58,17 +65,23 @@ class CompiledWithFallback:
     ValueError) trigger the fallback — they are raised before any donated
     input buffer is consumed, so re-calling the jitted fn with the same
     args is safe.  Runtime errors propagate unchanged.
+
+    Pre-binding wrappers (``VariablesAsArgFn``, the ``_Distill*`` classes in
+    training/state.py) whose ``lower()`` prepends bound args expose them as
+    ``aot_prefix``; the Compiled call re-prepends them so both paths see the
+    signature the graph was compiled for.
     """
 
     def __init__(self, compiled, jitted, label: str = ""):
         self._compiled = compiled
         self._jitted = jitted
         self._label = label
+        self._prefix = tuple(getattr(jitted, "aot_prefix", ()))
 
     def __call__(self, *args):
         if self._compiled is not None:
             try:
-                return self._compiled(*args)
+                return self._compiled(*self._prefix, *args)
             except (TypeError, ValueError) as e:
                 print(
                     f"[compile-pool] {self._label or 'aot'}: executable "
@@ -206,8 +219,8 @@ class AsyncCompilePool:
     @staticmethod
     def _timed(lw):
         c0 = time.perf_counter()
-        lw.compile()
-        return time.perf_counter() - c0
+        compiled = lw.compile()
+        return time.perf_counter() - c0, compiled
 
     def _await_traced(self, key) -> None:
         ev = self._ready.get(key)
@@ -242,6 +255,20 @@ class AsyncCompilePool:
             cancel_watchdog()
         return time.perf_counter() - t0
 
+    def executables(self, key) -> list:
+        """The key's ``Compiled`` executables in producer order (blocking
+        like :meth:`wait` if they are not ready yet).
+
+        Callers hold these and call them DIRECTLY instead of re-dispatching
+        the jitted fn: Lowered.compile() does not populate the jit dispatch
+        cache, so a dispatch would re-trace the graph (seconds of host time
+        per epoch-scan graph on this 1-core host) and re-compile against
+        the backend cache (a from-scratch compile if evicted).  Wrap with
+        :class:`CompiledWithFallback` to stay robust to aval drift.
+        """
+        self.wait(key)
+        return [f.result()[1] for f in self._futures.get(key, ())]
+
     def close(self):
         """Drain remaining traces + compiles (surfacing errors), shut down."""
         # _n_unique is 0 until the tracer's finally runs — size the drain
@@ -263,7 +290,7 @@ class AsyncCompilePool:
         self._pool.shutdown(wait=True)
         if self._verbose:
             uniq = {id(f): f for futs in self._futures.values() for f in futs}
-            per = [f.result() for f in uniq.values()]
+            per = [f.result()[0] for f in uniq.values()]
             wall = time.perf_counter() - self._t0
             print(f"[compile-pool:async] {self._label or 'done'}: "
                   f"{self._n_unique} executables, pool open {wall:.1f}s "

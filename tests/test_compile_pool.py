@@ -195,3 +195,25 @@ def test_compiled_with_fallback():
     assert jnp.allclose(fn(y), y * 2)
     assert fn._compiled is None
     assert jnp.allclose(fn(x), x * 2)
+
+
+def test_compiled_with_fallback_rebinds_prefix():
+    """Pre-binding wrappers (VariablesAsArgFn / the _Distill* classes)
+    lower() with bound args prepended; CompiledWithFallback re-prepends
+    them (aot_prefix) so the AOT executable sees the compiled signature."""
+    from distillation_trajectories_tpu.utils.compile_pool import (
+        CompiledWithFallback,
+        VariablesAsArgFn,
+    )
+
+    f = jax.jit(lambda v, x: v["w"] * x)
+    wrapped = VariablesAsArgFn(f, {"w": jnp.float32(3.0)})
+    x = jnp.ones((4,))
+    compiled = compile_concurrently(
+        [wrapped.lower(x)], verbose=False, keep=True)[0]
+    fn = CompiledWithFallback(compiled, wrapped, label="prefix")
+    assert jnp.allclose(fn(x), 3.0 * x)   # AOT path with prefix re-bound
+    assert fn._compiled is not None       # no fallback happened
+    y = jnp.ones((8,))
+    assert jnp.allclose(fn(y), 3.0 * y)   # aval drift -> jit fallback
+    assert fn._compiled is None
